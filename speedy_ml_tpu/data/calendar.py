@@ -1,0 +1,87 @@
+"""Calendars.
+
+Two calendars coexist, as in the reference:
+- the GCM-internal date (mod_date.f90): month lengths from a 365-day
+  calendar but with Feb 29 inserted in leap years for date stepping;
+  tyear/tmonth computed against the 365-day year.
+- the hybrid-side calendar (mod_calendar.f90): fully leap-aware hour
+  arithmetic used for training-data indexing and prediction markers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+NDAY_365 = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+CUM_365 = [0]
+for _d in NDAY_365[:-1]:
+    CUM_365.append(CUM_365[-1] + _d)
+
+
+def leap_year(year: int) -> bool:
+    """Gregorian leap rule (mod_calendar.f90:94-106)."""
+    if year % 4:
+        return False
+    if year % 100:
+        return True
+    return year % 400 == 0
+
+
+@dataclasses.dataclass
+class ModelDate:
+    """GCM-internal date (mod_date.f90 semantics)."""
+    year: int
+    month: int   # 1-12
+    day: int     # 1-31
+    hour: int = 0
+
+    def advance_day(self) -> "ModelDate":
+        d = ModelDate(self.year, self.month, self.day + 1, self.hour)
+        ndays = NDAY_365[d.month - 1]
+        if d.month == 2 and d.year % 4 == 0:     # mod_date.f90:61-65
+            ndays = 29
+        if d.day > ndays:
+            d.day = 1
+            d.month += 1
+        if d.month > 12:
+            d.month = 1
+            d.year += 1
+        return d
+
+    def advance_hours(self, hours: int) -> "ModelDate":
+        d = ModelDate(self.year, self.month, self.day, self.hour)
+        for _ in range(hours):
+            d.hour += 1
+            if d.hour == 24:
+                d.hour = 0
+                nd = d.advance_day()
+                d.year, d.month, d.day = nd.year, nd.month, nd.day
+        return d
+
+    @property
+    def tmonth(self) -> float:
+        return (self.day - 0.5) / NDAY_365[self.month - 1]
+
+    @property
+    def tyear(self) -> float:
+        return (CUM_365[self.month - 1] + self.day - 0.5) / 365.0
+
+
+def hours_in_year(year: int) -> int:
+    return 8784 if leap_year(year) else 8760
+
+
+def hours_into_year(date: ModelDate) -> int:
+    """Leap-aware hours since Jan 1 00UTC (mod_calendar.f90:108-176)."""
+    days = CUM_365[date.month - 1] + (date.day - 1)
+    if leap_year(date.year) and date.month > 2:
+        days += 1
+    return days * 24 + date.hour
+
+
+def hour_delta(a: ModelDate, b: ModelDate) -> int:
+    """Hours from a to b (b >= a), leap-aware."""
+    total = 0
+    for y in range(a.year, b.year):
+        total += hours_in_year(y)
+    return total + hours_into_year(b) - hours_into_year(a)

@@ -83,7 +83,7 @@ def run_steps(model: DycoreModel, state: SpectralState, phis: jnp.ndarray,
     """Integrate `nsteps` filtered leapfrog steps under one lax.scan/jit."""
 
     def body(s, _):
-        return model.leapfrog_step(s, phis, physics_fn, physics_args), None
+        return model.leapfrog_step(s, phis, physics_fn, physics_args)[0], None
 
     step_fn = jax.jit(lambda s: jax.lax.scan(body, s, None, length=nsteps)[0])
     return step_fn(state)

@@ -422,20 +422,34 @@ class DycoreModel:
     def step(self, state: SpectralState, phis: jnp.ndarray,
              j1: int, j2: int, dt: float, imp: ImplicitCoeffs,
              physics_fn: Optional[PhysicsFn] = None,
-             physics_args: tuple = ()) -> SpectralState:
+             physics_args: tuple = (),
+             corrections: Optional[tuple] = None):
         """One time step (dyn_step.f90):
 
         Fnew = F(0) + dt * [T_dyn(F(j2-1)) + T_phy(F(0))], then RAW filter.
         j1, j2 use the Fortran 1-based convention: (1,1) forward,
         (1,2) initial leapfrog, (2,2) filtered leapfrog.
+
+        physics_fn(state, j_phys, model, *physics_args) may return either a
+        GridTendencies or (GridTendencies, aux); `aux` (e.g. the radiation
+        carry + flux diagnostics) is threaded back to the caller.
+        corrections = (tcorh, qcorh): spectral orographic diffusion
+        correction fields from the daily forcing.
+
+        Returns (new_state, aux); aux is None for the dry core.
         """
         g = self.geom
 
         (utend, vtend, ttend, trtend, psdt), gf = \
             self.grid_tendencies(state, j2 - 1, imp)
 
+        aux = None
         if physics_fn is not None:
-            ptend = physics_fn(state, j1 - 1, self, *physics_args)
+            out = physics_fn(state, j1 - 1, self, *physics_args)
+            if isinstance(out, tuple) and not isinstance(out, GridTendencies):
+                ptend, aux = out
+            else:
+                ptend = out
             utend = utend + ptend.u
             vtend = vtend + ptend.v
             ttend = ttend + ptend.t
@@ -453,17 +467,15 @@ class DycoreModel:
                                            divdt, tdt, psdt)
             divdt, tdt, psdt = self.implicit_correction(imp, divdt, tdt, psdt)
 
-        # horizontal diffusion (dyn_step.f90:60-106); orographic correction
-        # fields tcorh/qcorh enter through `forcing` later (zero for dry core)
+        # horizontal diffusion (dyn_step.f90:60-106)
+        tcorh, qcorh = corrections if corrections is not None else (None, None)
         dmp = self.dmp[None]
         dmpd = self.dmpd[None]
-        dmps = self.dmps[None]
         vordt = self._hordif(state.vor[0], vordt, dmp, imp.dmp1[None])
         divdt = self._hordif(state.div[0], divdt, dmpd, imp.dmp1d[None])
 
-        tcor = getattr(self, "_tcorh", None)
-        ctmp = state.t[0] + (tcor[None] * self.tcorv[:, None, None]
-                             if tcor is not None else 0.0)
+        ctmp = state.t[0] + (tcorh[None] * self.tcorv[:, None, None]
+                             if tcorh is not None else 0.0)
         tdt = self._hordif(ctmp, tdt, dmp, imp.dmp1[None])
 
         # stratospheric drag on the zonal-mean top-level flow
@@ -478,9 +490,8 @@ class DycoreModel:
         tdt = tdt.at[0].set(self._hordif(ctmp[0], tdt[0],
                                          self.dmps, imp.dmp1s))
 
-        qcor = getattr(self, "_qcorh", None)
-        qtmp = state.tr[0, 0] + (qcor[None] * self.qcorv[:, None, None]
-                                 if qcor is not None else 0.0)
+        qtmp = state.tr[0, 0] + (qcorh[None] * self.qcorv[:, None, None]
+                                 if qcorh is not None else 0.0)
         trdt = trdt.at[0].set(self._hordif(qtmp, trdt[0], dmpd[0],
                                            imp.dmp1d))
         for itr in range(1, g.ntracers):
@@ -488,35 +499,34 @@ class DycoreModel:
                                                  dmp[0], imp.dmp1[0]))
 
         if dt <= 0.0:
-            return state
+            return state, aux
 
         eps = 0.0 if j1 == 1 else self.rob
-        return SpectralState(
+        new_state = SpectralState(
             ps=self._timint(state.ps, psdt, j1, dt, eps),
             vor=self._timint(state.vor, vordt, j1, dt, eps),
             div=self._timint(state.div, divdt, j1, dt, eps),
             t=self._timint(state.t, tdt, j1, dt, eps),
             tr=self._timint(state.tr, trdt, j1, dt, eps),
         )
+        return new_state, aux
 
     def stepone(self, state: SpectralState, phis: jnp.ndarray,
                 physics_fn: Optional[PhysicsFn] = None,
-                physics_args: tuple = ()) -> SpectralState:
+                physics_args: tuple = (),
+                corrections: Optional[tuple] = None):
         """Cold-start double half-step (ini_stepone.f90)."""
-        state = self.step(state, phis, 1, 1, 0.5 * self.delt, self.imp_half,
-                          physics_fn, physics_args)
-        state = self.step(state, phis, 1, 2, self.delt, self.imp_full,
-                          physics_fn, physics_args)
-        return state
+        state, aux = self.step(state, phis, 1, 1, 0.5 * self.delt,
+                               self.imp_half, physics_fn, physics_args,
+                               corrections)
+        state, aux = self.step(state, phis, 1, 2, self.delt, self.imp_full,
+                               physics_fn, physics_args, corrections)
+        return state, aux
 
     def leapfrog_step(self, state: SpectralState, phis: jnp.ndarray,
                       physics_fn: Optional[PhysicsFn] = None,
-                      physics_args: tuple = ()) -> SpectralState:
+                      physics_args: tuple = (),
+                      corrections: Optional[tuple] = None):
         """The main-loop filtered leapfrog step (dyn_stloop.f90:43)."""
         return self.step(state, phis, 2, 2, self.delt2, self.imp_double,
-                         physics_fn, physics_args)
-
-    def set_orographic_corrections(self, tcorh: jnp.ndarray, qcorh: jnp.ndarray):
-        """Spectral horizontal T/q diffusion-correction fields (ini_fordate)."""
-        self._tcorh = tcorh
-        self._qcorh = qcorh
+                         physics_fn, physics_args, corrections)

@@ -1,0 +1,200 @@
+"""The full atmospheric GCM: dynamics + physics + coupled surface.
+
+Equivalent of the reference's agcm_main/agcm_1day/stloop assembly
+(at_gcm.f90, dyn_stloop.f90) in functional form:
+
+- `GCM` holds all static tables (dycore, physics, boundary data, slab
+  coefficients) and exposes pure step functions;
+- one *window* = `steps_per_window` leapfrog steps under a single
+  `lax.scan` (the reference's 6-h hybrid window = 24 x 900 s);
+- the daily host-level loop updates date-dependent forcing (fordate) and
+  exchanges with the slab land/sea models (agcm_to_coupler).
+
+The per-step shortwave-radiation cadence (every `nstrad` steps) is a
+`lax.cond` on the running step counter inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.core.constants import PhysicalConstants
+from speedy_ml_tpu.core.geometry import Geometry
+from speedy_ml_tpu.data.calendar import ModelDate
+from speedy_ml_tpu.dycore.model import DycoreModel, GridTendencies
+from speedy_ml_tpu.dycore.state import SpectralState
+from speedy_ml_tpu.physics.boundaries import BoundaryData, load_boundary_data
+from speedy_ml_tpu.physics.driver import (DailyForcing, FluxDiag,
+                                          PhysicsModel, RadiationCarry)
+from speedy_ml_tpu.physics.land_sea import (SlabCoeffs, SurfaceState,
+                                            build_slab_coeffs,
+                                            init_surface_state, couple_daily)
+
+NSTRAD = 3   # shortwave radiation period in steps (mod_tsteps.f90:65)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FluxAccumulator:
+    """Daily-mean flux accumulation (ppo_dmflux.f90 essentials).
+
+    In the reference these survive 6-h hybrid restarts through the
+    fluxes.grd file; here they are part of the functional model state.
+    """
+    hflux_l: jnp.ndarray
+    hflux_s: jnp.ndarray
+    hflux_i: jnp.ndarray
+    precip: jnp.ndarray    # accumulated total precip [g/m^2 over the window]
+
+    @staticmethod
+    def zeros(nlat, nlon, dtype):
+        z = lambda: jnp.zeros((nlat, nlon), dtype=dtype)
+        return FluxAccumulator(hflux_l=z(), hflux_s=z(), hflux_i=z(), precip=z())
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GCMState:
+    """Everything the jitted window advance threads through."""
+    spectral: SpectralState
+    sfc: SurfaceState
+    radiation: RadiationCarry
+    fluxes: FluxAccumulator
+    istep: jnp.ndarray     # global step counter (for the nstrad cadence)
+
+
+class GCM:
+    def __init__(self, geom: Geometry = Geometry(),
+                 constants: PhysicalConstants = PhysicalConstants(),
+                 dtype=jnp.float32, bc_path: Optional[str] = None,
+                 nsteps_day: int = 96):
+        self.geom = geom
+        self.const = constants
+        self.dtype = jnp.dtype(dtype)
+        self.dyn = DycoreModel(geom, constants, dtype=dtype,
+                               nsteps_day=nsteps_day)
+        self.sht = self.dyn.sht
+        self.phys = PhysicsModel(geom, constants, dtype=dtype)
+        self.bd = load_boundary_data(geom, self.sht, constants.grav, bc_path)
+        lat_deg = np.rad2deg(geom.lat_radians)
+        self.slab = build_slab_coeffs(self.bd, lat_deg, self.dtype)
+        self.nsteps_day = nsteps_day
+        self.phis = self.sht.trunct(
+            self.sht.grid_to_spec(self.bd.orog))
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, date: ModelDate,
+                   spectral: Optional[SpectralState] = None,
+                   sst_hybrid: Optional[jnp.ndarray] = None,
+                   sst_bias: float = 0.0) -> tuple[GCMState, DailyForcing]:
+        """agcm_init equivalent: surface + radiation init for `date`."""
+        g = self.geom
+        imon = jnp.asarray(date.month - 1)
+        fmon = jnp.asarray(date.tmonth, dtype=self.dtype)
+        sfc = init_surface_state(self.bd, imon, fmon, sst_hybrid, sst_bias)
+        if spectral is None:
+            from speedy_ml_tpu.dycore.init import rest_state
+            spectral, _ = rest_state(self.dyn, self.bd.orog)
+        state = GCMState(
+            spectral=spectral, sfc=sfc,
+            radiation=RadiationCarry.zeros(g.nlev, g.nlat, g.nlon, self.dtype),
+            fluxes=FluxAccumulator.zeros(g.nlat, g.nlon, self.dtype),
+            istep=jnp.asarray(0, dtype=jnp.int32))
+        forcing = self.phys.daily_forcing(self.bd, sfc, date.tyear, self.sht)
+        return state, forcing
+
+    # ------------------------------------------------------------------
+
+    def _physics_fn(self, state: SpectralState, j: int, dyn: DycoreModel,
+                    sfc, forcing, carry, lradsw):
+        """Adapter: spectral state -> grid fields -> PhysicsModel.compute."""
+        sht = self.sht
+        vor_s, div_s, t_s, ps_s, tr_s = state.at_level(j)
+        ucosm, vcosm = sht.uvspec(vor_s, div_s)
+        ug = sht.spec_to_grid(ucosm, kcos=2)
+        vg = sht.spec_to_grid(vcosm, kcos=2)
+        tg = sht.spec_to_grid(t_s)
+        qg = sht.spec_to_grid(tr_s[0])
+        phi_s = dyn.geopotential(t_s, self.phis)
+        phig = sht.spec_to_grid(phi_s)
+        pslg = sht.spec_to_grid(ps_s)
+
+        ut, vt, tt, qt, carry2, diag = self.phys.compute(
+            ug, vg, tg, qg, phig, pslg, bd=self.bd, sfc=sfc,
+            forcing=forcing, carry=carry, lradsw=lradsw)
+        return GridTendencies(u=ut, v=vt, t=tt, tr=qt[None]), (carry2, diag)
+
+    # ------------------------------------------------------------------
+
+    def leapfrog(self, gstate: GCMState, forcing: DailyForcing) -> GCMState:
+        """One filtered leapfrog step with physics (stloop body)."""
+        lradsw = (gstate.istep % NSTRAD) == 0   # istep 0-based: mod(istep,3)==1 1-based
+        spec, aux = self.dyn.leapfrog_step(
+            gstate.spectral, self.phis,
+            physics_fn=self._physics_fn,
+            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw),
+            corrections=(forcing.tcorh, forcing.qcorh))
+        carry, diag = aux
+        rsteps = 1.0 / self.nsteps_day
+        fx = gstate.fluxes
+        fluxes = FluxAccumulator(
+            hflux_l=fx.hflux_l + diag.hflux_l * rsteps,
+            hflux_s=fx.hflux_s + diag.hflux_s * rsteps,
+            hflux_i=fx.hflux_i + diag.hflux_i * rsteps,
+            precip=fx.precip + (diag.precnv + diag.precls) * self.dyn.delt2 / 2.0)
+        return GCMState(spectral=spec, sfc=gstate.sfc, radiation=carry,
+                        fluxes=fluxes, istep=gstate.istep + 1)
+
+    def stepone(self, gstate: GCMState, forcing: DailyForcing) -> GCMState:
+        """Cold-start double half-step with physics (ini_stepone.f90)."""
+        lradsw = jnp.asarray(True)
+        spec, aux = self.dyn.stepone(
+            gstate.spectral, self.phis,
+            physics_fn=self._physics_fn,
+            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw),
+            corrections=(forcing.tcorh, forcing.qcorh))
+        carry, _ = aux
+        return GCMState(spectral=spec, sfc=gstate.sfc, radiation=carry,
+                        fluxes=gstate.fluxes, istep=gstate.istep)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def run_window(self, gstate: GCMState, forcing: DailyForcing,
+                   nsteps: int) -> GCMState:
+        """`nsteps` leapfrog steps under one scan (a 6-h window = 24 steps)."""
+        def body(s, _):
+            return self.leapfrog(s, forcing), None
+        return jax.lax.scan(body, gstate, None, length=nsteps)[0]
+
+    # ------------------------------------------------------------------
+
+    def run_days(self, gstate: GCMState, date: ModelDate, ndays: int,
+                 stepone_first: bool = False) -> tuple[GCMState, ModelDate]:
+        """agcm_main day loop: fordate + window + slab-coupler exchange."""
+        for _ in range(ndays):
+            forcing = self.phys.daily_forcing(self.bd, gstate.sfc,
+                                              date.tyear, self.sht)
+            gstate = dataclasses.replace(
+                gstate, fluxes=FluxAccumulator.zeros(
+                    self.geom.nlat, self.geom.nlon, self.dtype))
+            if stepone_first:
+                gstate = self.stepone(gstate, forcing)
+                stepone_first = False
+            gstate = self.run_window(gstate, forcing, self.nsteps_day)
+            date = date.advance_day()
+            # coupler exchange at day end (agcm_to_coupler/coupler_to_agcm)
+            sfc = couple_daily(
+                gstate.sfc, self.slab, self.bd,
+                dict(hflux_l=gstate.fluxes.hflux_l,
+                     hflux_s=gstate.fluxes.hflux_s,
+                     hflux_i=gstate.fluxes.hflux_i),
+                jnp.asarray(date.month - 1),
+                jnp.asarray(date.tmonth, dtype=self.dtype))
+            gstate = dataclasses.replace(gstate, sfc=sfc)
+        return gstate, date

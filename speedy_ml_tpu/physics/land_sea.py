@@ -1,0 +1,204 @@
+"""Slab land and sea(+ice) anomaly models and the daily coupler exchange.
+
+Reference: mod_cpl_land_model.f90, cpl_sea_model.f90, cpl_land.f90,
+cpl_sea.f90, cpl_bcinterp.f90.  The reference exchanges data through
+global arrays once per day; here the coupled surface state is an explicit
+pytree advanced by pure functions, so it shards and jits cleanly.
+
+Coupling flags follow the reference's production setting
+(mod_cpl_flags.f90): icland=1, icsea=0, icice=1, isstan=0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.physics import constants as pc
+from speedy_ml_tpu.physics.boundaries import BoundaryData
+
+
+def forint(for12: jnp.ndarray, imon: jnp.ndarray, fmon: jnp.ndarray) -> jnp.ndarray:
+    """Linear interpolation of monthly climatology (cpl_bcinterp.f90:1-23).
+
+    for12: (12, ...); imon: 0-based month index; fmon in (0, 1)."""
+    imon2 = jnp.where(fmon <= 0.5, (imon - 1) % 12, (imon + 1) % 12)
+    wmon = jnp.where(fmon <= 0.5, 0.5 - fmon, fmon - 0.5)
+    return for12[imon] + wmon * (for12[imon2] - for12[imon])
+
+
+def forin5(for12: jnp.ndarray, imon: jnp.ndarray, fmon: jnp.ndarray) -> jnp.ndarray:
+    """Mean-conserving nonlinear interpolation (cpl_bcinterp.f90:25-60)."""
+    im2, im1 = (imon - 2) % 12, (imon - 1) % 12
+    ip1, ip2 = (imon + 1) % 12, (imon + 2) % 12
+    c0 = 1.0 / 12.0
+    t0 = c0 * fmon
+    t1 = c0 * (1.0 - fmon)
+    t2 = 0.25 * fmon * (1.0 - fmon)
+    wm2 = -t1 + t2
+    wm1 = -c0 + 8 * t1 - 6 * t2
+    w0 = 7 * c0 + 10 * t2
+    wp1 = -c0 + 8 * t0 - 6 * t2
+    wp2 = -t0 + t2
+    return (wm2 * for12[im2] + wm1 * for12[im1] + w0 * for12[imon]
+            + wp1 * for12[ip1] + wp2 * for12[ip2])
+
+
+class SlabCoeffs(NamedTuple):
+    """Constant heat capacities / damping (land_model_init, sea_model_init)."""
+    rhcapl: jnp.ndarray
+    cdland: jnp.ndarray
+    rhcaps: jnp.ndarray
+    rhcapi: jnp.ndarray
+    cdsea: jnp.ndarray
+    cdice: jnp.ndarray
+
+
+def build_slab_coeffs(bd: BoundaryData, lat_deg: np.ndarray, dtype) -> SlabCoeffs:
+    nlat = lat_deg.shape[0]
+    fmask_l = np.asarray(bd.fmask_l)
+    alb0 = np.asarray(bd.alb0)
+    fmask_s = np.asarray(bd.fmask_s)
+
+    # land (mod_cpl_land_model.f90:20-83)
+    depth_soil, depth_lice, tdland, flandmin = 1.0, 5.0, 40.0, 1.0 / 3.0
+    hcapl = depth_soil * 2.50e6
+    hcapli = depth_lice * 1.93e6
+    dmask_l = np.where(fmask_l < flandmin, 0.0, 1.0)
+    rhcapl = np.where(alb0 < 0.4, 86400.0 / hcapl, 86400.0 / hcapli)
+    rhcapl = np.broadcast_to(rhcapl, fmask_l.shape)
+    cdland = dmask_l * tdland / (1.0 + dmask_l * tdland)
+
+    # sea (cpl_sea_model.f90:1-115)
+    depth_ml, dept0_ml = 60.0, 40.0
+    depth_ice, dept0_ice = 2.5, 1.5
+    tdsst, tdice, fseamin = 90.0, 30.0, 1.0 / 3.0
+    coslat = np.cos(np.deg2rad(lat_deg))
+    hcaps = 4.18e6 * (depth_ml + (dept0_ml - depth_ml) * coslat**3)
+    hcapi = 1.93e6 * (depth_ice + (dept0_ice - depth_ice) * coslat**2)
+
+    dmask = np.ones_like(fmask_s)
+    sm = dmask.copy()
+    sm[1:-1] = 0.25 * (dmask[:-2] + 2 * dmask[1:-1] + dmask[2:])
+    dmask = np.where(fmask_s < fseamin, 0.0, sm)
+
+    rhcaps = np.broadcast_to(86400.0 / hcaps[:, None], fmask_s.shape)
+    rhcapi = np.broadcast_to(86400.0 / hcapi[:, None], fmask_s.shape)
+    cdsea = dmask * tdsst / (1.0 + dmask * tdsst)
+    cdice = dmask * tdice / (1.0 + dmask * tdice)
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    return SlabCoeffs(rhcapl=f(rhcapl), cdland=f(cdland), rhcaps=f(rhcaps),
+                      rhcapi=f(rhcapi), cdsea=f(cdsea), cdice=f(cdice))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SurfaceState:
+    """Prognostic coupled-surface state + current atmospheric-side fields."""
+    stl_lm: jnp.ndarray     # land model surface temperature
+    sst_om: jnp.ndarray     # ocean model SST (0 when icsea=0)
+    tice_om: jnp.ndarray    # sea-ice temperature
+    sice_om: jnp.ndarray    # sea-ice fraction
+    # atmospheric-side fields (what suflux/fordate consume)
+    stl_am: jnp.ndarray
+    snowd_am: jnp.ndarray
+    soilw_am: jnp.ndarray
+    sst_am: jnp.ndarray
+    sice_am: jnp.ndarray
+    tice_am: jnp.ndarray
+
+
+def interp_climatology(bd: BoundaryData, imon, fmon):
+    """Date-interpolated climatological surface fields + sea-ice adjustment.
+
+    Returns dict with stlcl, snowdcl, soilwcl, sstcl, sicecl, ticecl
+    (atm2sea/atm2land, cpl_sea.f90:92-114)."""
+    stlcl = forin5(bd.stl12, imon, fmon)
+    snowdcl = forint(bd.snowd12, imon, fmon)
+    soilwcl = forint(bd.soilw12, imon, fmon)
+    sstcl = forin5(bd.sst12, imon, fmon)
+    sicecl = forint(bd.sice12, imon, fmon)
+
+    warm = sstcl > pc.SSTFR
+    sicecl_w = jnp.minimum(0.5, sicecl)
+    ticecl_w = jnp.full_like(sstcl, pc.SSTFR)
+    sstcl_w = jnp.where(sicecl_w > 0.0,
+                        pc.SSTFR + (sstcl - pc.SSTFR) / (1.0 - sicecl_w), sstcl)
+    sicecl_c = jnp.maximum(0.5, sicecl)
+    ticecl_c = pc.SSTFR + (sstcl - pc.SSTFR) / sicecl_c
+    sstcl_c = jnp.full_like(sstcl, pc.SSTFR)
+
+    sicecl = jnp.where(warm, sicecl_w, sicecl_c)
+    ticecl = jnp.where(warm, ticecl_w, ticecl_c)
+    sstcl = jnp.where(warm, sstcl_w, sstcl_c)
+    return dict(stlcl=stlcl, snowdcl=snowdcl, soilwcl=soilwcl,
+                sstcl=sstcl, sicecl=sicecl, ticecl=ticecl)
+
+
+def init_surface_state(bd: BoundaryData, imon, fmon,
+                       sst_hybrid: jnp.ndarray | None = None,
+                       sst_bias: float = 0.0) -> SurfaceState:
+    """ini_land + ini_sea (+ hybrid SST injection, cpl_sea.f90:38-46)."""
+    cl = interp_climatology(bd, imon, fmon)
+    sst_am = cl["sstcl"]
+    sice_am = cl["sicecl"]
+    tice_am = cl["ticecl"]
+    if sst_hybrid is not None:
+        diff = sst_am - sst_hybrid
+        sst_am = jnp.where(diff < 6.0, sst_hybrid, sst_am)
+        sst_am = sst_am + sst_bias
+    sst_am = sst_am + sice_am * (tice_am - sst_am)
+    return SurfaceState(
+        stl_lm=cl["stlcl"], sst_om=jnp.zeros_like(sst_am),
+        tice_om=cl["ticecl"], sice_om=cl["sicecl"],
+        stl_am=cl["stlcl"], snowd_am=cl["snowdcl"], soilw_am=cl["soilwcl"],
+        sst_am=sst_am, sice_am=sice_am, tice_am=tice_am)
+
+
+def couple_daily(state: SurfaceState, coeffs: SlabCoeffs, bd: BoundaryData,
+                 fluxes: dict, imon, fmon) -> SurfaceState:
+    """agcm_to_coupler + coupler_to_agcm for one day.
+
+    fluxes: dict with daily-mean hflux_l, hflux_s, hflux_i (from the flux
+    accumulator). Land model active (icland=1); SST from climatology
+    (icsea=0); ice temperature prognostic (icice=1)."""
+    cl = interp_climatology(bd, imon, fmon)
+
+    # land model (mod_cpl_land_model.f90:85-126)
+    tanom = state.stl_lm - cl["stlcl"]
+    tanom = coeffs.cdland * (tanom + coeffs.rhcapl * fluxes["hflux_l"])
+    stl_lm = tanom + cl["stlcl"]
+
+    # sea/ice model (cpl_sea_model.f90:117-206); hfseacl = 0 for icsea=0.
+    # sice0 entering the model is TODAY's climatological ice fraction
+    # (atm2sea passes sicecl_ob, cpl_sea.f90:124).
+    sice0 = cl["sicecl"]
+    hflux = fluxes["hflux_s"] - sice0 * (
+        fluxes["hflux_i"] + 1.0 * (pc.SSTFR - state.tice_om))
+    tanom_s = state.sst_om - cl["sstcl"]
+    tanom_s = coeffs.cdsea * (tanom_s + coeffs.rhcaps * hflux)
+    sst_om = tanom_s + cl["sstcl"]
+
+    hflux_i = fluxes["hflux_i"] + 1.0 * (pc.SSTFR - state.tice_om)
+    tanom_i = state.tice_om - cl["ticecl"]
+    anom0 = 20.0
+    cdis = coeffs.cdice * (anom0 / (anom0 + jnp.abs(tanom_i)))
+    tanom_i = cdis * (tanom_i + coeffs.rhcapi * hflux_i)
+    tice_om = tanom_i + cl["ticecl"]
+
+    # sea2atm with icsea=0, icice=1 (cpl_sea.f90:150-198): SST from
+    # climatology, ice fraction persists (= today's climo), ice temp prognostic
+    sst_am = cl["sstcl"]
+    sice_am = sice0
+    tice_am = tice_om
+    sst_am = sst_am + sice_am * (tice_am - sst_am)
+
+    return SurfaceState(
+        stl_lm=stl_lm, sst_om=sst_om, tice_om=tice_om, sice_om=cl["sicecl"],
+        stl_am=stl_lm, snowd_am=cl["snowdcl"], soilw_am=cl["soilwcl"],
+        sst_am=sst_am, sice_am=sice_am, tice_am=tice_am)

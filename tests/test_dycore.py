@@ -45,7 +45,7 @@ def test_implicit_matrices_invert(model):
 def test_rest_state_is_stationary_flat(model):
     """Flat planet at rest: held exactly (all horizontal gradients vanish)."""
     state, phis = rest_state(model)
-    state = model.stepone(state, phis)
+    state, _ = model.stepone(state, phis)
     out = run_steps(model, state, phis, 20)
     # vorticity and divergence must remain ~zero
     assert float(jnp.abs(out.vor).max()) < 1e-12
@@ -65,7 +65,7 @@ def test_mass_conservation(model):
     t = state.t + pert.astype(state.t.dtype)[None]
     state = state.__class__(vor=state.vor, div=state.div, t=t,
                             ps=state.ps, tr=state.tr)
-    state = model.stepone(state, phis)
+    state, _ = model.stepone(state, phis)
     out = run_steps(model, state, phis, 50)
     np.testing.assert_allclose(np.asarray(out.ps)[..., 0, 0],
                                np.asarray(state.ps)[..., 0, 0], rtol=1e-12)
@@ -85,7 +85,7 @@ def test_perturbed_stability_5days(model):
     t = state.t + model.sht.trunct(pert)[None]
     state = state.__class__(vor=state.vor, div=state.div, t=t,
                             ps=state.ps, tr=state.tr)
-    state = model.stepone(state, phis)
+    state, _ = model.stepone(state, phis)
     out = run_steps(model, state, phis, 480)
 
     tg = model.sht.spec_to_grid(out.t[1])
