@@ -1,0 +1,126 @@
+"""Physics parametrization tests: conservation and physical-limit checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speedy_ml_tpu.core import Geometry, PhysicalConstants
+from speedy_ml_tpu.physics.condensation import lscond
+from speedy_ml_tpu.physics.convection import convmf
+from speedy_ml_tpu.physics.driver import PhysicsModel
+from speedy_ml_tpu.physics.humidity import qsat_from_t
+
+GEOM = Geometry()
+CONST = PhysicalConstants()
+
+
+@pytest.fixture(scope="module")
+def phys():
+    return PhysicsModel(GEOM, CONST, dtype=jnp.float64)
+
+
+def _tropical_column(phys, ny=4, nx=4):
+    """A warm moist column prone to convection."""
+    K = GEOM.nlev
+    sig = phys.sig
+    psa = jnp.full((ny, nx), 1.0)
+    ts = 302.0
+    tg = jnp.asarray(np.broadcast_to(
+        (ts * np.maximum(0.45, sig) ** (2. / 7.))[:, None, None], (K, ny, nx)))
+    phig = jnp.asarray(np.broadcast_to(
+        (CONST.rgas * 260.0 * (-np.log(sig)))[:, None, None], (K, ny, nx)))
+    qsat = qsat_from_t(tg, sig[:, None, None] * psa[None])
+    qa = 0.95 * qsat
+    se = CONST.cp * tg + phig
+    return psa, se, qa, qsat, tg, phig
+
+
+def test_qsat_clausius_clapeyron():
+    """qsat roughly doubles per 10 K and matches tabulated value at 300 K."""
+    q300 = float(qsat_from_t(jnp.asarray(300.0), jnp.asarray(1.0)))
+    q290 = float(qsat_from_t(jnp.asarray(290.0), jnp.asarray(1.0)))
+    # ~22 g/kg at 300K/1000hPa
+    assert 20.0 < q300 < 25.0
+    assert 1.7 < q300 / q290 < 2.1
+
+
+def test_convection_triggers_and_conserves(phys):
+    psa, se, qa, qsat, *_ = _tropical_column(phys)
+    itop, cbmf, precnv, dfse, dfqa = convmf(
+        psa, se, qa, qsat, sig=phys.sig, dsig=phys.dsig, wvi2=phys.wvi2,
+        p0=CONST.p0, grav=CONST.grav, alhc=CONST.alhc)
+    assert int((itop < GEOM.nlev).sum()) > 0, "no convection in tropical column"
+    assert float(precnv.min()) >= 0.0
+    assert float(cbmf.min()) >= 0.0
+    # column energy closure: sum dfse + alhc * sum dfqa = 0 up to precip terms
+    # (dfse includes +alhc*precnv at top; dfqa includes -precnv)
+    col = np.asarray((dfse + CONST.alhc * dfqa).sum(axis=0))
+    np.testing.assert_allclose(col, 0.0, atol=1e-6)
+
+
+def test_no_convection_when_stable(phys):
+    """A dry stable column must not convect."""
+    K = GEOM.nlev
+    sig = phys.sig
+    psa = jnp.full((2, 2), 1.0)
+    tg = jnp.asarray(np.broadcast_to(
+        (280.0 * np.maximum(0.45, sig) ** (2. / 7.))[:, None, None], (K, 2, 2)))
+    phig = jnp.asarray(np.broadcast_to(
+        (CONST.rgas * 250.0 * (-np.log(sig)))[:, None, None], (K, 2, 2)))
+    qsat = qsat_from_t(tg, sig[:, None, None] * psa[None])
+    qa = 0.1 * qsat
+    se = CONST.cp * tg + phig
+    itop, cbmf, precnv, dfse, dfqa = convmf(
+        psa, se, qa, qsat, sig=phys.sig, dsig=phys.dsig, wvi2=phys.wvi2,
+        p0=CONST.p0, grav=CONST.grav, alhc=CONST.alhc)
+    assert int((itop < K).sum()) == 0
+    assert float(jnp.abs(dfse).max()) == 0.0
+
+
+def test_lscond_rains_when_supersaturated(phys):
+    psa, se, qa, qsat, *_ = _tropical_column(phys)
+    qa_super = 1.2 * qsat
+    itop0 = jnp.full(psa.shape, GEOM.nlev, dtype=jnp.int32)
+    itop, precls, dtlsc, dqlsc = lscond(
+        psa, qa_super, qsat, itop0, sig=phys.sig, dsig=phys.dsig,
+        p0=CONST.p0, grav=CONST.grav, cp=CONST.cp, alhc=CONST.alhc)
+    assert float(precls.min()) > 0.0
+    assert float(dqlsc.max()) <= 0.0       # drying
+    assert float(dtlsc[1:].min()) >= 0.0   # heating
+    # precip equals vertically integrated moisture sink
+    prg = CONST.p0 / CONST.grav
+    expected = -prg * np.asarray(
+        (phys.dsig[1:, None, None] * dqlsc[1:]).sum(axis=0)) * np.asarray(psa)
+    np.testing.assert_allclose(np.asarray(precls), expected, rtol=1e-12)
+
+
+def test_radiation_energy_balance(phys):
+    """Global SW absorbed ~ OLR within 40% during spinup; fluxes finite/positive."""
+    import jax
+    from speedy_ml_tpu.physics import radiation as rad
+    sol = rad.sol_oz(0.5, phys.slat, phys.clat, GEOM.nlon)
+    assert float(sol.fsol.min()) >= 0.0
+    # northern-summer insolation peaks in the north
+    fs = np.asarray(sol.fsol)[:, 0]
+    assert fs[-1] > fs[0]
+
+
+def test_full_physics_tendencies_finite(phys):
+    """One full physics evaluation from a GCM state yields finite tendencies."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from speedy_ml_tpu.data.calendar import ModelDate
+    from speedy_ml_tpu.gcm import GCM
+    gcm = GCM(dtype=jnp.float64)
+    date = ModelDate(1990, 7, 1)
+    state, forcing = gcm.init_state(date)
+    out = gcm._physics_fn(state.spectral, 0, gcm.dyn, state.sfc, forcing,
+                          state.radiation, jnp.asarray(True))
+    (tend, (carry, diag)) = out
+    for arr in (tend.u, tend.v, tend.t, tend.tr):
+        assert bool(jnp.isfinite(arr).all())
+    assert float(diag.precnv.min()) >= 0.0
+    assert float(diag.precls.min()) >= 0.0
+    # OLR should be positive everywhere and bounded by ~400 W/m2
+    assert float(diag.olr.min()) > 50.0
+    assert float(diag.olr.max()) < 400.0
