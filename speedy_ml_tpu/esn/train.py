@@ -1,0 +1,213 @@
+"""Batched ESN ridge-regression training via normal equations.
+
+Reference: mod_reservoir.f90 (reservoir_layer_chunking_*, chunking_matmul,
+fit_chunk_*, initialize_chunk_training).  The Fortran's per-sample spMV
+loop + per-batch DGEMMs become a `lax.scan` over time with per-batch MXU
+einsums; the 20-batch accumulation keeps the (n, T) state matrix from
+ever materializing whole, exactly as the reference does.
+
+All arrays carry a leading region axis R.  Time-major inputs:
+  train_in:  (T, R, I)  standardized input series (with halos)
+  target:    (T, R, O)  standardized target series (region core), SAME time
+                        indexing as train_in
+  model_in:  (T, R, S)  imperfect-model (SPEEDY) forecast series, or None
+
+Alignment (matches chunking_matmul, mod_reservoir.f90:1643-1699): the
+state that has absorbed inputs up to index t-1 is paired with target[t] —
+one-step-ahead prediction of the series itself.  The first state (x0 from
+the discard segment) pairs with target[0], so target[0] must be the value
+one step past the last discard input.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper,
+                                         esn_step, quad_expand)
+
+
+class NormalEq(NamedTuple):
+    """Accumulated normal equations per region."""
+    ss: jnp.ndarray    # (R, S+n, S+n)  aug . aug^T
+    st: jnp.ndarray    # (R, O, S+n)    target . aug^T
+
+
+def find_closest_divisor(target: int, total: int) -> int:
+    """Closest divisor of `total` to `target` (mod_utilities.f90:1591-1629)."""
+    best, bestd = 1, abs(target - 1)
+    for d in range(1, total + 1):
+        if total % d == 0 and abs(target - d) < bestd:
+            best, bestd = d, abs(target - d)
+    return best
+
+
+def apply_noise(key, u: jnp.ndarray, noise_mag: float,
+                precip_slice: Optional[tuple] = None,
+                precip_mean: Optional[jnp.ndarray] = None,
+                precip_std: Optional[jnp.ndarray] = None,
+                precip_eps: float = 0.001) -> jnp.ndarray:
+    """Multiplicative gaussian training noise (mod_utilities.f90:1380-1457).
+
+    u: (R, I).  For the precip block [p0, p1) the noise is additive in
+    physical precip space with the log(1+P/eps) transform round-tripped."""
+    g = jax.random.normal(key, u.shape, dtype=u.dtype)
+    noisy = u + g * noise_mag * u
+    if precip_slice is None:
+        return noisy
+    p0, p1 = precip_slice
+    temp = u[:, p0:p1] * precip_std + precip_mean
+    temp = precip_eps * (jnp.exp(temp) - 1.0)
+    temp = temp + g[:, p0:p1] * noise_mag
+    temp = jnp.abs(temp)
+    temp = jnp.log(1.0 + temp / precip_eps)
+    temp = (temp - precip_mean) / precip_std
+    return noisy.at[:, p0:p1].set(temp)
+
+
+def accumulate_batches(res: BatchedReservoir, hyper: ESNHyper,
+                       train_in: jnp.ndarray, target: jnp.ndarray,
+                       model_in: Optional[jnp.ndarray],
+                       x0: jnp.ndarray, batch_size: int,
+                       noise_key=None,
+                       precip_info: Optional[dict] = None):
+    """Run the ESN over the series and accumulate normal equations.
+
+    Processes floor((T-1)/batch_size) complete batches like the reference
+    (the tail beyond the last complete batch is dropped,
+    reservoir_layer_chunking_hybrid:1113-1170).
+
+    Returns (NormalEq, x_final)."""
+    T, R, _ = train_in.shape
+    n = res.n
+    S = 0 if model_in is None else model_in.shape[2]
+    O = target.shape[2]
+    nbatch = (T - 1) // batch_size
+
+    noise_keys = (jax.random.split(noise_key, T) if noise_key is not None
+                  else None)
+
+    def noisy_u(t):
+        u = train_in[t]
+        if noise_keys is None:
+            return u
+        if precip_info is None:
+            return apply_noise(noise_keys[t], u, hyper.noise_mag)
+        return apply_noise(noise_keys[t], u, hyper.noise_mag,
+                           precip_slice=precip_info["slice"],
+                           precip_mean=precip_info["mean"],
+                           precip_std=precip_info["std"],
+                           precip_eps=precip_info["eps"])
+
+    def batch_step(carry, b):
+        x, ss, st = carry
+        base = b * batch_size
+
+        # collect batch_size states: the first state of batch b is x itself
+        # (= x_{base}); advance batch_size-1 times with inputs v[base + j]
+        def collect(xc, t):
+            xn = esn_step(res, xc, noisy_u(t), hyper.leakage)
+            return xn, xn
+
+        ts_adv = base + jnp.arange(batch_size - 1)
+        x_last, states_tail = jax.lax.scan(collect, x, ts_adv)
+        # states: (batch, R, n) = [x_base, ..., x_{base+bs-1}]
+        states = jnp.concatenate([x[None], states_tail], axis=0)
+        states_sq = quad_expand(states)
+
+        tgt_idx = base + jnp.arange(batch_size)
+        if model_in is not None:
+            lm = jnp.take(model_in, tgt_idx, axis=0)
+            aug = jnp.concatenate([lm, states_sq], axis=2)   # (B, R, S+n)
+        else:
+            aug = states_sq
+        tgt = jnp.take(target, tgt_idx, axis=0)
+
+        ss = ss + jnp.einsum("brm,brk->rmk", aug, aug)
+        st = st + jnp.einsum("bro,brk->rok", tgt, aug)
+
+        # advance into the next batch's first state
+        x_next = esn_step(res, x_last, noisy_u(base + batch_size - 1),
+                          hyper.leakage)
+        return (x_next, ss, st), None
+
+    ss0 = jnp.zeros((R, S + n, S + n), dtype=train_in.dtype)
+    st0 = jnp.zeros((R, O, S + n), dtype=train_in.dtype)
+    (x, ss, st), _ = jax.lax.scan(batch_step, (x0, ss0, st0),
+                                  jnp.arange(nbatch))
+    return NormalEq(ss=ss, st=st), x
+
+
+def discard_transient(res: BatchedReservoir, hyper: ESNHyper,
+                      train_in: jnp.ndarray, noise_key=None,
+                      precip_info: Optional[dict] = None) -> jnp.ndarray:
+    """Spin up from zero state through the discard segment (T, R, I)."""
+    T, R, _ = train_in.shape
+    x = jnp.zeros((R, res.n), dtype=train_in.dtype)
+    keys = jax.random.split(noise_key, T) if noise_key is not None else None
+
+    def body(xc, t):
+        u = train_in[t]
+        if keys is not None:
+            if precip_info is None:
+                u = apply_noise(keys[t], u, hyper.noise_mag)
+            else:
+                u = apply_noise(keys[t], u, hyper.noise_mag,
+                                precip_slice=precip_info["slice"],
+                                precip_mean=precip_info["mean"],
+                                precip_std=precip_info["std"],
+                                precip_eps=precip_info["eps"])
+        return esn_step(res, xc, u, hyper.leakage), None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(T))
+    return x
+
+
+def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
+    """Ridge solve for Wout (fit_chunk_hybrid, mod_reservoir.f90:1233-1332).
+
+    Regularization: beta_model^2 on the SPEEDY block diagonal, beta_res^2
+    on the reservoir block (squared because using_prior=True in the
+    reference config); the prior adds prior_val*beta_model^2 to the RHS
+    diagonal of the SPEEDY block."""
+    R, A, _ = eq.ss.shape
+    if hyper.using_prior:
+        bm, br = hyper.beta_model**2, hyper.beta_res**2
+    else:
+        bm, br = hyper.beta_model, hyper.beta_res
+    diag = jnp.where(jnp.arange(A) < n_speedy, bm, br)
+    ss = eq.ss + jnp.eye(A, dtype=eq.ss.dtype)[None] * diag
+
+    st = eq.st
+    if hyper.using_prior and n_speedy > 0 and hyper.prior_val != 0.0:
+        O = st.shape[1]
+        k = min(n_speedy, O)
+        pv = hyper.prior_val * hyper.beta_model**2
+        st = st.at[:, jnp.arange(k), jnp.arange(k)].add(pv)
+
+    # solve ss . Wout^T = st^T  (SPD -> cholesky)
+    def solve_one(ssr, str_):
+        cho = jax.scipy.linalg.cho_factor(ssr)
+        return jax.scipy.linalg.cho_solve(cho, str_.T).T
+
+    return jax.vmap(solve_one)(ss, st)
+
+
+def train_subseries(res: BatchedReservoir, hyper: ESNHyper,
+                    series_in: jnp.ndarray, series_target: jnp.ndarray,
+                    series_model: Optional[jnp.ndarray],
+                    n_discard: int, batch_size: int,
+                    noise_key=None, precip_info=None) -> tuple[NormalEq, jnp.ndarray]:
+    """One strided sub-series pass: discard + batched accumulation."""
+    x0 = discard_transient(res, hyper, series_in[:n_discard],
+                           noise_key=noise_key, precip_info=precip_info)
+    nk = jax.random.fold_in(noise_key, 1) if noise_key is not None else None
+    eq, x = accumulate_batches(
+        res, hyper, series_in[n_discard:],
+        series_target[n_discard:],
+        None if series_model is None else series_model[n_discard:],
+        x0, batch_size, noise_key=nk, precip_info=precip_info)
+    return eq, x
