@@ -1,0 +1,96 @@
+"""Per-region standardization of packed state vectors.
+
+Reference: the standardize_* overloads of mod_utilities.f90 and
+res_domain.f90:1189-1540.  Scalars are per (variable, level) per region —
+mean/std layout [v0_z0..v0_zK, v1_z0.., ..., logp, precip, sst, tisr]
+(input_grid_to_input_statevec_and_standardization,
+res_domain.f90:1209-1246) — here pre-expanded to per-element vectors so
+application is a fused multiply-add on the packed vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.esn.domain import RegionClass, VectorLayout, build_layout
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Standardizer:
+    """Per-region component scalars + expanded per-element vectors."""
+    comp_mean: jnp.ndarray   # (R, C) per-component scalars
+    comp_std: jnp.ndarray
+    in_mean: jnp.ndarray     # (R, I) expanded over the input vector
+    in_std: jnp.ndarray
+    out_mean: jnp.ndarray    # (R, O) expanded over the target vector
+    out_std: jnp.ndarray
+
+    def standardize_input(self, vec: jnp.ndarray) -> jnp.ndarray:
+        return (vec - self.in_mean) / self.in_std
+
+    def unstandardize_input(self, vec: jnp.ndarray) -> jnp.ndarray:
+        return vec * self.in_std + self.in_mean
+
+    def standardize_output(self, vec: jnp.ndarray) -> jnp.ndarray:
+        return (vec - self.out_mean) / self.out_std
+
+    def unstandardize_output(self, vec: jnp.ndarray) -> jnp.ndarray:
+        return vec * self.out_std + self.out_mean
+
+
+def component_expansion(nx: int, ny: int, nvar: int, nz: int, *, logp: bool,
+                        precip: bool, sst: bool, tisr: bool) -> np.ndarray:
+    """Map each element of a packed vector to its component index.
+
+    Component order: (v, z) pairs with z fastest (l = v*nz + z, matching
+    the l counter of the reference), then logp, precip, sst, tisr."""
+    lay = build_layout(nx, ny, nvar, nz, logp=logp, precip=precip,
+                       sst=sst, tisr=tisr)
+    comp = np.zeros(lay.total, dtype=np.int32)
+    # atmo block is flattened from (z, y, x, v) C-order
+    idx = np.arange(nvar * nx * ny * nz).reshape(nz, ny, nx, nvar)
+    v = np.broadcast_to(np.arange(nvar)[None, None, None, :], idx.shape)
+    z = np.broadcast_to(np.arange(nz)[:, None, None, None], idx.shape)
+    comp[idx.ravel()] = (v * nz + z).ravel()
+    c = nvar * nz
+    for name in ("logp", "precip", "sst", "tisr"):
+        sl = getattr(lay, name)
+        if sl is not None:
+            comp[sl[0]:sl[1]] = c
+            c += 1
+    return comp
+
+
+def n_components(nvar: int, nz: int, *, logp: bool, precip: bool, sst: bool,
+                 tisr: bool) -> int:
+    return nvar * nz + sum([logp, precip, sst, tisr])
+
+
+def compute_standardizer(series: jnp.ndarray, comp_map_in: np.ndarray,
+                         comp_map_out: np.ndarray, n_comp: int) -> Standardizer:
+    """Fit per-component mean/std from a packed input series (T, R, I).
+
+    The statistics pool all elements sharing a component (all gridpoints
+    of one variable/level in the region, over time), as the reference's
+    standardize_data overloads do."""
+    T, R, I = series.shape
+    cm = jnp.asarray(comp_map_in)
+    onehot = jax.nn.one_hot(cm, n_comp, dtype=series.dtype)      # (I, C)
+    count = jnp.maximum(onehot.sum(axis=0) * T, 1.0)             # (C,)
+    s1 = jnp.einsum("tri,ic->rc", series, onehot)
+    s2 = jnp.einsum("tri,ic->rc", series * series, onehot)
+    mean_c = s1 / count
+    var_c = jnp.maximum(s2 / count - mean_c**2, 1e-30)
+    std_c = jnp.sqrt(var_c)
+    in_mean = mean_c[:, cm]
+    in_std = std_c[:, cm]
+    cmo = jnp.asarray(comp_map_out)
+    return Standardizer(comp_mean=mean_c, comp_std=std_c,
+                        in_mean=in_mean, in_std=in_std,
+                        out_mean=mean_c[:, cmo], out_std=std_c[:, cmo])

@@ -73,7 +73,7 @@ class GCM:
     def __init__(self, geom: Geometry = Geometry(),
                  constants: PhysicalConstants = PhysicalConstants(),
                  dtype=jnp.float32, bc_path: Optional[str] = None,
-                 nsteps_day: int = 96):
+                 nsteps_day: int = 96, bd: Optional[BoundaryData] = None):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
@@ -81,7 +81,8 @@ class GCM:
                                nsteps_day=nsteps_day)
         self.sht = self.dyn.sht
         self.phys = PhysicsModel(geom, constants, dtype=dtype)
-        self.bd = load_boundary_data(geom, self.sht, constants.grav, bc_path)
+        self.bd = bd if bd is not None else load_boundary_data(
+            geom, self.sht, constants.grav, bc_path)
         lat_deg = np.rad2deg(geom.lat_radians)
         self.slab = build_slab_coeffs(self.bd, lat_deg, self.dtype)
         self.nsteps_day = nsteps_day

@@ -1,0 +1,302 @@
+"""The hybrid atmosphere: per-region ESNs coupled to the spectral GCM.
+
+Reference: the per-timestep cycle of parallelmain.f90:206-272 +
+mpires.f90 sendrecievegrid/run_model (218-780, 1516-1628) + the
+iogrid(30)/(31) bridge (ppo_iogrid.f90:497-601).
+
+TPU re-design: there is no rank-0 hub.  The "global grid" is a sharded
+device array; reservoir outputs scatter into it, SPEEDY-as-a-jitted-
+function advances it 6 h, and the feedback/local-model vectors gather
+straight back out.  One `cycle()` is a single jitted program.
+
+Key behavioral parities kept from the reference:
+- q >= 1e-6 clamp and precip floor on the assembled grid (mpires.f90:444-478);
+- the grid->spectral->grid double transform when injecting into SPEEDY,
+  including its smoothing ("major bug" at ppo_iogrid.f90:541-554, which
+  trained weights adapted to);
+- the physical-range safety gate (u,v,T,q bounds) evaluated on the
+  POST-transform fields (ppo_iogrid.f90:563-577);
+- SPEEDY cold-starts every cycle through stepone (ini_stepone.f90), with
+  land/sea surfaces re-initialized from climatology + hybrid SST
+  (cpl_sea.f90:38-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.dycore.init import rest_state
+from speedy_ml_tpu.dycore.state import SpectralState
+from speedy_ml_tpu.esn.domain import RegionClass, RegionLayout, build_layout
+from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper, esn_step,
+                                         readout)
+from speedy_ml_tpu.esn.standardize import Standardizer
+from speedy_ml_tpu.gcm import GCM, GCMState, FluxAccumulator
+from speedy_ml_tpu.physics.driver import RadiationCarry
+from speedy_ml_tpu.physics.land_sea import init_surface_state
+from speedy_ml_tpu.physics.radiation import solar_flux_traced
+from speedy_ml_tpu.physics.constants import SOLC
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClassState:
+    """Dynamic per-class ESN state."""
+    x: jnp.ndarray            # (Rc, n) reservoir state
+    feedback: jnp.ndarray     # (Rc, I) standardized input for the next step
+    local_model: jnp.ndarray  # (Rc, S) standardized SPEEDY forecast
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridState:
+    classes: tuple            # tuple[ClassState, ...]
+    sst_grid: jnp.ndarray     # (lat, lon) current SST seen by SPEEDY + ESNs
+    safe: jnp.ndarray         # bool: SPEEDY safety gate
+    step: jnp.ndarray         # int32 cycle counter
+
+
+class ClassPack(NamedTuple):
+    """Static per-class bundle: reservoir weights + geometry + scaling."""
+    cls: RegionClass
+    res: BatchedReservoir
+    hyper: ESNHyper
+    std: Standardizer
+
+
+class HybridAtmosphere:
+    """Hybrid cycle driver (atmosphere reservoirs; ocean added separately)."""
+
+    TIMESTEP_HOURS = 6
+    NVAR = 4  # T, u, v, q
+
+    def __init__(self, gcm: GCM, layout: RegionLayout,
+                 packs: list[ClassPack], ml_only: bool = False):
+        self.gcm = gcm
+        self.layout = layout
+        self.packs = packs
+        self.ml_only = ml_only
+        g = gcm.geom
+        self.nz = g.nlev
+        # steps of the GCM inside one hybrid window
+        self.gcm_steps = gcm.nsteps_day * self.TIMESTEP_HOURS // 24
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, sst_grid: jnp.ndarray) -> HybridState:
+        cls_states = []
+        for p in self.packs:
+            Rc = p.cls.count
+            cls_states.append(ClassState(
+                x=jnp.zeros((Rc, p.res.n), dtype=self.gcm.dtype),
+                feedback=jnp.zeros((Rc, p.res.n_inputs), dtype=self.gcm.dtype),
+                local_model=jnp.zeros((Rc, p.res.n_speedy), dtype=self.gcm.dtype)))
+        return HybridState(classes=tuple(cls_states), sst_grid=sst_grid,
+                           safe=jnp.asarray(True),
+                           step=jnp.asarray(0, dtype=jnp.int32))
+
+    def start_prediction(self, truth_sync: dict, model_next: Optional[dict],
+                         sst0: jnp.ndarray) -> HybridState:
+        """Synchronize reservoirs on a truth window, then arm the first
+        cycle (start_prediction/synchronize, mod_reservoir.f90:938-959,
+        1352-1379).
+
+        truth_sync: dict of grids (T, ...) as in hybrid.training; the last
+        sample is the initial condition.  model_next: imperfect-model
+        forecast grids valid one step AFTER the window end (or None for
+        ml_only)."""
+        from speedy_ml_tpu.esn.reservoir import synchronize
+        from speedy_ml_tpu.hybrid.training import pack_class_series
+
+        cls_states = []
+        for p in self.packs:
+            series = pack_class_series(self.layout, p.cls, truth_sync)
+            z = p.std.standardize_input(series.astype(self.gcm.dtype))
+            x = synchronize(p.res, jnp.zeros((p.cls.count, p.res.n),
+                                             dtype=self.gcm.dtype),
+                            z[:-1], p.hyper.leakage)
+            feedback = z[-1]
+            if model_next is not None:
+                vec = self.layout.pack_vector(
+                    p.cls, model_next["atmo"], logp=model_next["logp"],
+                    core_only=True)
+                S = p.res.n_speedy
+                lm = (vec[:, :S] - p.std.out_mean[:, :S]) / p.std.out_std[:, :S]
+            else:
+                lm = jnp.zeros((p.cls.count, p.res.n_speedy),
+                               dtype=self.gcm.dtype)
+            cls_states.append(ClassState(x=x, feedback=feedback,
+                                         local_model=lm))
+        return HybridState(classes=tuple(cls_states), sst_grid=sst0,
+                           safe=jnp.asarray(True),
+                           step=jnp.asarray(0, dtype=jnp.int32))
+
+    # ------------------------------------------------------------------
+    # pieces of the cycle
+    # ------------------------------------------------------------------
+
+    def predict_all(self, hstate: HybridState):
+        """ESN step + readout for every region (predict/predict_ml,
+        mod_reservoir.f90:1416-1533).  Returns (new xs, physical outvecs)."""
+        new_x = []
+        outvecs = []
+        for p, cs in zip(self.packs, hstate.classes):
+            x = esn_step(p.res, cs.x, cs.feedback, p.hyper.leakage)
+            lm = None if self.ml_only else cs.local_model
+            out = readout(p.res, x, lm)
+            outvecs.append(p.std.unstandardize_output(out))
+            new_x.append(x)
+        return new_x, outvecs
+
+    def assemble_global(self, outvecs):
+        """Scatter region outputs into global grids + clamps
+        (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478)."""
+        g = self.gcm.geom
+        dt = self.gcm.dtype
+        atmo = jnp.zeros((self.NVAR, self.nz, g.nlat, g.nlon), dtype=dt)
+        logp = jnp.zeros((g.nlat, g.nlon), dtype=dt)
+        precip = jnp.zeros((g.nlat, g.nlon), dtype=dt)
+        for p, vec in zip(self.packs, outvecs):
+            parts = self.layout.unpack_core_vector(
+                p.cls, vec, self.NVAR, self.nz, logp=True, precip=True)
+            atmo = self.layout.scatter_core(p.cls, parts["atmo"], atmo)
+            logp = self.layout.scatter_core(p.cls, parts["logp"], logp)
+            precip = self.layout.scatter_core(p.cls, parts["precip"], precip)
+        atmo = atmo.at[3].set(jnp.maximum(atmo[3], 1e-6))   # q clamp
+        precip = jnp.where(precip < 1e-5, 0.0, precip)
+        return atmo, logp, precip
+
+    def inject_to_speedy(self, atmo, logp):
+        """Grid -> spectral with truncation + back (iogrid 30).
+
+        Returns (SpectralState at level 0, smoothed grid fields, safe)."""
+        sht = self.gcm.sht
+        tg, ug, vg, qg = atmo[0], atmo[1], atmo[2], atmo[3]
+        qg = jnp.maximum(qg, 0.0)
+
+        vor, div = sht.vdspec(ug, vg, kcos=2)
+        t_s = sht.grid_to_spec(tg)
+        q_s = sht.grid_to_spec(qg)
+        ps_s = sht.grid_to_spec(logp)
+        vor, div = sht.trunct(vor), sht.trunct(div)
+        t_s, q_s, ps_s = sht.trunct(t_s), sht.trunct(q_s), sht.trunct(ps_s)
+
+        # the double transform: back to grid for the safety check (and the
+        # smoothing the trained weights expect)
+        u2, v2 = sht.uv_grid(vor, div)
+        t2 = sht.spec_to_grid(t_s)
+        q2 = sht.spec_to_grid(q_s)
+
+        safe = ((u2.min() >= -150.0) & (u2.max() <= 150.0)
+                & (v2.min() >= -120.0) & (v2.max() <= 120.0)
+                & (t2.min() >= 160.0) & (t2.max() <= 330.0)
+                & (q2.min() >= -6.0) & (q2.max() <= 30.0))
+
+        spec = SpectralState(
+            vor=jnp.stack([vor, vor]), div=jnp.stack([div, div]),
+            t=jnp.stack([t_s, t_s]), ps=jnp.stack([ps_s, ps_s]),
+            tr=jnp.stack([q_s[None], q_s[None]]))
+        return spec, safe
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def speedy_window(self, spec: SpectralState, sst_hybrid, imon, fmon,
+                      tyear) -> tuple:
+        """Run SPEEDY for one 6-h window from a cold start (run_model,
+        mpires.f90:1516-1628 + agcm flow)."""
+        gcm = self.gcm
+        g = gcm.geom
+        sfc = init_surface_state(gcm.bd, imon, fmon, sst_hybrid=sst_hybrid)
+        gstate = GCMState(
+            spectral=spec, sfc=sfc,
+            radiation=RadiationCarry.zeros(g.nlev, g.nlat, g.nlon, gcm.dtype),
+            fluxes=FluxAccumulator.zeros(g.nlat, g.nlon, gcm.dtype),
+            istep=jnp.asarray(0, dtype=jnp.int32))
+        forcing = gcm.phys.daily_forcing(gcm.bd, sfc, tyear, gcm.sht)
+        gstate = gcm.stepone(gstate, forcing)
+        gstate = gcm.run_window(gstate, forcing, self.gcm_steps)
+
+        # extract at leapfrog level 0 (iogrid 31 reads time level 1)
+        sht = gcm.sht
+        sp = gstate.spectral
+        u, v = sht.uv_grid(sp.vor[0], sp.div[0])
+        t = sht.spec_to_grid(sp.t[0])
+        q = sht.spec_to_grid(sp.tr[0, 0])
+        logp = sht.spec_to_grid(sp.ps[0])
+        return jnp.stack([t, u, v, q]), logp
+
+    def build_feedback(self, atmo, logp, precip, sst_grid, tisr_grid):
+        """Per-class standardized feedback vectors (sendrecievegrid
+        scatter + standardize, mpires.f90:561-750)."""
+        out = []
+        for p in self.packs:
+            vec = self.layout.pack_vector(
+                p.cls, atmo, logp=logp, precip=precip, sst=sst_grid,
+                tisr=tisr_grid)
+            out.append(p.std.standardize_input(vec))
+        return out
+
+    def build_local_model(self, fc_atmo, fc_logp):
+        """Per-class standardized SPEEDY forecast vectors (core, atmo+logp)."""
+        out = []
+        for p in self.packs:
+            vec = self.layout.pack_vector(p.cls, fc_atmo, logp=fc_logp,
+                                          core_only=True)
+            # speedy vector = output layout minus the trailing precip block
+            S = p.res.n_speedy
+            vec = vec[:, :S]
+            out.append((vec - p.std.out_mean[:, :S]) / p.std.out_std[:, :S])
+        return out
+
+    def tisr_field(self, tyear):
+        """Analytic daily-mean TOA insolation as the TISR input.
+
+        The reference reads an hourly ERA5 TISR climatology
+        (get_tisr_by_date, mpires.f90:1644-1676); without that dataset the
+        framework substitutes the Hartmann daily-mean insolation, which
+        carries the same seasonal signal. Hourly climatologies can be
+        plugged in through `set_tisr_table`."""
+        g = self.gcm.geom
+        slat = jnp.asarray(g.sin_lat, dtype=self.gcm.dtype)
+        clat = jnp.asarray(g.cos_lat, dtype=self.gcm.dtype)
+        row = solar_flux_traced(tyear, 4.0 * SOLC, slat, clat)
+        return jnp.broadcast_to(row[:, None], (g.nlat, g.nlon))
+
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def cycle(self, hstate: HybridState, imon, fmon, tyear) -> tuple:
+        """One 6-h hybrid step.  Returns (new_state, diagnostics dict)."""
+        new_x, outvecs = self.predict_all(hstate)
+        atmo, logp, precip = self.assemble_global(outvecs)
+
+        if self.ml_only:
+            fc_atmo = fc_logp = None
+            safe = jnp.asarray(True)
+        else:
+            spec, safe = self.inject_to_speedy(atmo, logp)
+            fc_atmo, fc_logp = self.speedy_window(
+                spec, hstate.sst_grid, imon, fmon, tyear)
+
+        tisr = self.tisr_field(tyear)
+        feedbacks = self.build_feedback(atmo, logp, precip,
+                                        hstate.sst_grid, tisr)
+        if self.ml_only:
+            locals_ = [cs.local_model for cs in hstate.classes]
+        else:
+            locals_ = self.build_local_model(fc_atmo, fc_logp)
+
+        classes = tuple(
+            ClassState(x=x, feedback=fb, local_model=lm)
+            for x, fb, lm in zip(new_x, feedbacks, locals_))
+        new_state = HybridState(classes=classes, sst_grid=hstate.sst_grid,
+                                safe=hstate.safe & safe,
+                                step=hstate.step + 1)
+        diag = dict(atmo=atmo, logp=logp, precip=precip,
+                    speedy_atmo=fc_atmo, speedy_logp=fc_logp)
+        return new_state, diag

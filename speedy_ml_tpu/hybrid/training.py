@@ -1,0 +1,253 @@
+"""Hybrid training: from gridded truth + imperfect-model series to
+trained per-region reservoirs.
+
+Reference flow: train_reservoir/get_training_data (mod_reservoir.f90:
+212-601) — ERA5 truth + SPEEDY 6-h forecasts are packed into per-region
+vectors, standardized, and fed through the strided-subseries batched
+normal-equation pipeline.  Here the data interface is plain arrays:
+
+  truth: dict with
+    atmo   (T, 4, K, lat, lon)   T,u,v,q truth snapshots every `timestep` h
+    logp   (T, lat, lon)
+    precip (T, lat, lon)         physical precip (log-transformed here)
+    sst    (T, lat, lon)
+    tisr   (T, lat, lon)
+  model: dict with atmo/logp — the imperfect model's forecast VALID at
+    sample t (launched from t-1), like the reference's
+    restart_6hour files (read_model_states).
+
+Data can come from ERA5 (data.era) or from a self-generated "nature run"
+(generate_nature_run below) for fully self-contained operation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.esn.domain import RegionLayout, build_layout
+from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper, generate,
+                                         radius_by_lat)
+from speedy_ml_tpu.esn.standardize import (Standardizer, component_expansion,
+                                           compute_standardizer, n_components)
+from speedy_ml_tpu.esn.train import (accumulate_batches, discard_transient,
+                                     find_closest_divisor, solve_wout,
+                                     NormalEq)
+from speedy_ml_tpu.hybrid.model import ClassPack, HybridAtmosphere
+
+NVAR = 4
+
+
+def log_precip_transform(precip: jnp.ndarray, eps: float = 0.001) -> jnp.ndarray:
+    """log(1 + P/eps) (get_training_data, mod_reservoir.f90:363-494)."""
+    return jnp.log(1.0 + jnp.maximum(precip, 0.0) / eps)
+
+
+def pack_class_series(layout: RegionLayout, cls, truth: dict,
+                      precip_eps: float = 0.001):
+    """Packed input series (T, Rc, I) for one region class."""
+    T = truth["atmo"].shape[0]
+
+    def pack_t(t):
+        return layout.pack_vector(
+            cls, truth["atmo"][t], logp=truth["logp"][t],
+            precip=log_precip_transform(truth["precip"][t], precip_eps),
+            sst=truth["sst"][t], tisr=truth["tisr"][t])
+
+    return jax.lax.map(pack_t, jnp.arange(T))
+
+
+def pack_class_model_series(layout: RegionLayout, cls, model: dict):
+    """Packed imperfect-model core series (T, Rc, S): atmo+logp only."""
+    T = model["atmo"].shape[0]
+
+    def pack_t(t):
+        return layout.pack_vector(cls, model["atmo"][t],
+                                  logp=model["logp"][t], core_only=True)
+
+    return jax.lax.map(pack_t, jnp.arange(T))
+
+
+def class_standardizer(layout: RegionLayout, cls, series: jnp.ndarray,
+                       nz: int) -> Standardizer:
+    xi, yi = cls.input_shape
+    xc, yc = cls.core_shape
+    comp_in = component_expansion(xi, yi, NVAR, nz, logp=True, precip=True,
+                                  sst=True, tisr=True)
+    comp_out = component_expansion(xc, yc, NVAR, nz, logp=True, precip=True,
+                                   sst=False, tisr=False)
+    nc = n_components(NVAR, nz, logp=True, precip=True, sst=True, tisr=True)
+    return compute_standardizer(series, comp_in, comp_out, nc)
+
+
+def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
+                hyper: ESNHyper, key, nz: int, *,
+                n_discard: int = 10, n_batches: int = 20,
+                precip_eps: float = 0.001, dtype=jnp.float32) -> ClassPack:
+    """Train all reservoirs of one class (train_reservoir equivalent)."""
+    series = pack_class_series(layout, cls, truth, precip_eps).astype(dtype)
+    T, Rc, I = series.shape
+    std = class_standardizer(layout, cls, series, nz)
+    z_in = std.standardize_input(series)
+
+    target = layout.input_to_target(
+        cls, z_in.reshape(T * Rc, I), NVAR, nz, nz, 0,
+        logp=True, precip=True, sst=True, tisr=True).reshape(T, Rc, -1)
+
+    if model is not None:
+        mser = pack_class_model_series(layout, cls, model).astype(dtype)
+        S = mser.shape[2]
+        z_model = (mser - std.out_mean[None, :, :S]) / std.out_std[None, :, :S]
+    else:
+        z_model = None
+
+    # generate reservoirs with the latitude-dependent spectral radius
+    lat_s = layout.lat_start[cls.region_ids]
+    lat_e = layout.lat_end[cls.region_ids]
+    radius = radius_by_lat(lat_s, lat_e)
+    cols, vals, win = generate(key, Rc, I, hyper, radius, dtype=dtype)
+    n = vals.shape[1]
+    O = target.shape[2]
+    S = 0 if z_model is None else z_model.shape[2]
+    res = BatchedReservoir(cols=cols, vals=vals, win=win,
+                           wout=jnp.zeros((Rc, O, S + n), dtype=dtype),
+                           mean=std.in_mean, std=std.in_std)
+
+    L = T - n_discard
+    batch_size = find_closest_divisor(max(1, L // n_batches), L)
+
+    noise_key = jax.random.fold_in(key, 99) if hyper.noise_mag > 0 else None
+    lay_in = build_layout(*cls.input_shape, NVAR, nz, logp=True, precip=True,
+                          sst=True, tisr=True)
+    pm_idx = NVAR * nz + 1  # component index of precip
+    precip_info = dict(slice=lay_in.precip,
+                       mean=std.comp_mean[:, pm_idx:pm_idx + 1],
+                       std=std.comp_std[:, pm_idx:pm_idx + 1],
+                       eps=precip_eps)
+
+    x0 = discard_transient(res, hyper, z_in[:n_discard], noise_key=noise_key,
+                           precip_info=precip_info if noise_key is not None else None)
+    eq, _ = accumulate_batches(
+        res, hyper, z_in[n_discard:], target[n_discard:],
+        None if z_model is None else z_model[n_discard:],
+        x0, batch_size,
+        noise_key=None if noise_key is None else jax.random.fold_in(noise_key, 1),
+        precip_info=precip_info if noise_key is not None else None)
+    wout = solve_wout(eq, hyper, n_speedy=S)
+    res = dataclasses.replace(res, wout=wout)
+    return ClassPack(cls=cls, res=res, hyper=hyper, std=std)
+
+
+def train_hybrid(gcm, layout: RegionLayout, truth: dict,
+                 model: Optional[dict], hyper: ESNHyper, key,
+                 **kw) -> HybridAtmosphere:
+    """Train every region class and assemble the hybrid atmosphere."""
+    packs = []
+    for i, cls in enumerate(layout.classes):
+        packs.append(train_class(layout, cls, truth, model, hyper,
+                                 jax.random.fold_in(key, i), gcm.geom.nlev,
+                                 **kw))
+    return HybridAtmosphere(gcm, layout, packs, ml_only=model is None)
+
+
+# ----------------------------------------------------------------------
+# self-contained data generation ("nature run" mode)
+# ----------------------------------------------------------------------
+
+def generate_nature_run(gcm, date0, n_samples: int, timestep_hours: int = 6,
+                        spinup_days: int = 5):
+    """Run the GCM as truth, saving grids every `timestep_hours`.
+
+    Returns (truth dict, list of GCMState snapshots at each sample, dates).
+    The snapshots let make_imperfect_forecasts relaunch from truth."""
+    import dataclasses as dc
+    from speedy_ml_tpu.gcm import FluxAccumulator
+
+    g = gcm.geom
+    state, _ = gcm.init_state(date0)
+    date = date0
+    # spinup
+    forcing = gcm.phys.daily_forcing(gcm.bd, state.sfc, date.tyear, gcm.sht)
+    state = gcm.stepone(state, forcing)
+    state, date = gcm.run_days(state, date, spinup_days)
+
+    steps = gcm.nsteps_day * timestep_hours // 24
+    truth = dict(atmo=[], logp=[], precip=[], sst=[], tisr=[])
+    snaps, dates = [], []
+
+    from speedy_ml_tpu.hybrid.model import HybridAtmosphere
+    sht = gcm.sht
+    for i in range(n_samples):
+        forcing = gcm.phys.daily_forcing(gcm.bd, state.sfc, date.tyear,
+                                         gcm.sht)
+        pre_precip = state.fluxes.precip
+        state = gcm.run_window(state, forcing, steps)
+        sp = state.spectral
+        u, v = sht.uv_grid(sp.vor[0], sp.div[0])
+        truth["atmo"].append(jnp.stack([sht.spec_to_grid(sp.t[0]), u, v,
+                                        sht.spec_to_grid(sp.tr[0, 0])]))
+        truth["logp"].append(sht.spec_to_grid(sp.ps[0]))
+        # precip accumulated over the window, as a rate-like quantity
+        truth["precip"].append((state.fluxes.precip - pre_precip)
+                               / (timestep_hours * 3600.0))
+        truth["sst"].append(state.sfc.sst_am)
+        tis = jnp.broadcast_to(
+            jnp.asarray(np.zeros((g.nlat, 1)), dtype=gcm.dtype),
+            (g.nlat, g.nlon))
+        snaps.append(state)
+        dates.append(date)
+        date = date.advance_hours(timestep_hours)
+
+    hyb = HybridAtmosphere.__new__(HybridAtmosphere)
+    hyb.gcm = gcm
+    truth["tisr"] = [np.asarray(
+        _tisr(gcm, d.tyear)) for d in dates]
+    return ({k: jnp.stack([jnp.asarray(v) for v in truth[k]])
+             for k in truth}, snaps, dates)
+
+
+def _tisr(gcm, tyear):
+    from speedy_ml_tpu.physics.constants import SOLC
+    from speedy_ml_tpu.physics.radiation import solar_flux_traced
+    g = gcm.geom
+    row = solar_flux_traced(jnp.asarray(tyear, dtype=gcm.dtype),
+                            jnp.asarray(g.sin_lat, dtype=gcm.dtype),
+                            jnp.asarray(g.cos_lat, dtype=gcm.dtype),
+                            4.0 * SOLC)
+    return jnp.broadcast_to(row[:, None], (g.nlat, g.nlon))
+
+
+def make_imperfect_forecasts(hyb_gcm, truth: dict, dates,
+                             timestep_hours: int = 6):
+    """6-h forecasts of the (imperfect) GCM launched from each truth state.
+
+    Mirrors the reference's SPEEDY restart_6hour training inputs
+    (read_model_states, speedy_res_interface.f90:634-720): forecast i is
+    valid at sample i, launched from truth sample i-1.  The first entry
+    repeats truth (never used as a target pair)."""
+    from speedy_ml_tpu.hybrid.model import HybridAtmosphere
+
+    hyb = HybridAtmosphere.__new__(HybridAtmosphere)
+    hyb.gcm = hyb_gcm
+    hyb.nz = hyb_gcm.geom.nlev
+    hyb.gcm_steps = hyb_gcm.nsteps_day * timestep_hours // 24
+    hyb.ml_only = False
+
+    T = truth["atmo"].shape[0]
+    fc_atmo = [truth["atmo"][0]]
+    fc_logp = [truth["logp"][0]]
+    for i in range(1, T):
+        d = dates[i - 1]
+        spec, _ = hyb.inject_to_speedy(truth["atmo"][i - 1],
+                                       truth["logp"][i - 1])
+        fa, fl = hyb.speedy_window(
+            spec, truth["sst"][i - 1], jnp.asarray(d.month - 1),
+            jnp.asarray(d.tmonth, dtype=hyb_gcm.dtype),
+            jnp.asarray(d.tyear, dtype=hyb_gcm.dtype))
+        fc_atmo.append(fa)
+        fc_logp.append(fl)
+    return dict(atmo=jnp.stack(fc_atmo), logp=jnp.stack(fc_logp))

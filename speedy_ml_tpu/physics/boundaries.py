@@ -143,6 +143,35 @@ def load_boundary_data(geom, sht, grav: float = 9.81,
         forog=f(sflset(phis0, grav)))
 
 
+def synthetic_boundary_data(geom, sht, grav: float = 9.81,
+                            land: bool = False) -> BoundaryData:
+    """Analytic aquaplanet (or uniform-land) boundary data for testing and
+    for running the model at non-standard resolutions without data files."""
+    from speedy_ml_tpu.physics.surface import sflset
+
+    nlat, nlon = geom.nlat, geom.nlon
+    zeros = np.zeros((nlat, nlon))
+    ones = np.ones((nlat, nlon))
+    fmask = ones.copy() if land else zeros.copy()
+    lat = geom.lat_radians
+    # zonally symmetric SST climatology with a mild seasonal cycle
+    sst12 = np.stack([
+        273.0 + 27.0 * np.cos(lat)[:, None] ** 2 * ones
+        + 2.0 * np.sin(lat)[:, None] * np.cos(2 * np.pi * (m - 0.5) / 12) * ones
+        for m in range(12)])
+    sst12 = np.maximum(sst12, 271.4)
+    stl12 = sst12.copy()
+    f = lambda x: jnp.asarray(x, dtype=sht.dtype)
+    return BoundaryData(
+        orog=f(zeros), phis0=f(zeros), fmask=f(fmask),
+        fmask_l=f(fmask), bmask_l=f(fmask), fmask_s=f(1.0 - fmask),
+        bmask_s=f(1.0 - fmask), alb0=f(0.1 * ones),
+        stl12=f(stl12), snowd12=f(np.zeros((12, nlat, nlon))),
+        soilw12=f(0.5 * np.ones((12, nlat, nlon))),
+        sst12=f(sst12), sice12=f(np.zeros((12, nlat, nlon))),
+        forog=f(sflset(zeros, grav)))
+
+
 def save_npz(bd: BoundaryData, path: str):
     np.savez_compressed(path, **{k: np.asarray(getattr(bd, k))
                                  for k in bd.__dataclass_fields__})

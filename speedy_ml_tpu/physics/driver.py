@@ -113,12 +113,15 @@ class PhysicsModel:
     # ------------------------------------------------------------------
 
     def daily_forcing(self, bd: BoundaryData, sfc: SurfaceState,
-                      tyear: float, sht) -> DailyForcing:
+                      tyear, sht) -> DailyForcing:
         """fordate(1): solar forcing, surface albedo, diffusion corrections.
 
-        Host-side daily update (tyear is a Python float)."""
+        tyear may be a Python float or a traced scalar (jit-safe)."""
         c = self.const
-        sol = rad.sol_oz(tyear, self.slat, self.clat, self.geom.nlon)
+        sol = rad.sol_oz_traced(
+            jnp.asarray(tyear, dtype=self.dtype),
+            jnp.asarray(self.slat, dtype=self.dtype),
+            jnp.asarray(self.clat, dtype=self.dtype), self.geom.nlon)
 
         snowc = jnp.minimum(1.0, sfc.snowd_am / pc.SD2SC)
         alb_l = bd.alb0 + snowc * (pc.ALBSN - bd.alb0)

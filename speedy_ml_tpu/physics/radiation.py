@@ -98,6 +98,53 @@ def sol_oz(tyear: float, slat: np.ndarray, clat: np.ndarray, nlon: int
                         zenit=tile(zenit), stratz=tile(stratz))
 
 
+def solar_flux_traced(tyear, csol: float, slat: jnp.ndarray,
+                      clat: jnp.ndarray) -> jnp.ndarray:
+    """jnp version of solar_flux with traced tyear (for in-jit forcing)."""
+    pigr = jnp.pi
+    alpha = 2.0 * pigr * tyear
+    ca1, sa1 = jnp.cos(alpha), jnp.sin(alpha)
+    ca2, sa2 = ca1 * ca1 - sa1 * sa1, 2 * sa1 * ca1
+    ca3, sa3 = ca1 * ca2 - sa1 * sa2, sa1 * ca2 + sa2 * ca1
+    decl = (0.006918 - 0.399912 * ca1 + 0.070257 * sa1 - 0.006758 * ca2
+            + 0.000907 * sa2 - 0.002697 * ca3 + 0.001480 * sa3)
+    fdis = 1.000110 + 0.034221 * ca1 + 0.001280 * sa1 + 0.000719 * ca2 \
+        + 0.000077 * sa2
+    cdecl, sdecl = jnp.cos(decl), jnp.sin(decl)
+    tdecl = sdecl / cdecl
+    csolp = csol / pigr
+    ch0 = jnp.clip(-tdecl * slat / clat, -1.0, 1.0)
+    h0 = jnp.arccos(ch0)
+    sh0 = jnp.sin(h0)
+    return csolp * fdis * (h0 * slat * sdecl + sh0 * clat * cdecl)
+
+
+def sol_oz_traced(tyear, slat: jnp.ndarray, clat: jnp.ndarray, nlon: int
+                  ) -> SolarForcing:
+    """jnp version of sol_oz: tyear may be a traced scalar."""
+    alpha = 2.0 * jnp.pi * (tyear + 10.0 / 365.0)
+    coz1 = jnp.maximum(0.0, jnp.cos(alpha))
+    coz2 = 1.8
+    azen, nzen = 1.0, 2
+    rzen = -jnp.cos(alpha) * 23.45 * jnp.pi / 180.0
+    czen, szen = jnp.cos(rzen), jnp.sin(rzen)
+    fs0 = 6.0
+
+    topsr = solar_flux_traced(tyear, 4.0 * pc.SOLC, slat, clat)
+    flat2 = 1.5 * slat**2 - 0.5
+    fsol = topsr
+    ozupp = 0.5 * pc.EPSSW
+    ozone = 0.4 * pc.EPSSW * (1.0 + coz1 * slat + coz2 * flat2)
+    zenit = 1.0 + azen * (1.0 - (clat * czen + slat * szen)) ** nzen
+    ozupp = fsol * ozupp * zenit
+    ozone = fsol * ozone * zenit
+    stratz = jnp.maximum(fs0 - fsol, 0.0)
+
+    tile = lambda z: jnp.broadcast_to(z[:, None], (slat.shape[0], nlon))
+    return SolarForcing(fsol=tile(fsol), ozupp=tile(ozupp), ozone=tile(ozone),
+                        zenit=tile(zenit), stratz=tile(stratz))
+
+
 def cloud(qa, rh, precnv, precls, iptop, gse, fmask):
     """Cloud cover and top (phy_radiat.f90:123-233).
 
