@@ -36,25 +36,31 @@ class BatchedReservoir:
     Shapes (R regions, n nodes, J nnz/row, I inputs, O outputs, S speedy):
       cols: (R, n, J) int32   ELL column indices of A
       vals: (R, n, J)         ELL values of A (scaled to spectral radius)
-      win:  (R, n, I)         input coupling (block-diagonal +-sigma)
+      win_vals: (R, n)        input coupling values.  Win is block-diagonal
+                              (the reference fills rows (i-1)q+1..iq of
+                              column i, mod_reservoir.f90:270-278), so one
+                              value per row suffices; the implicit column
+                              of row j is j // (n/I).
       wout: (R, O, S + n)     readout on [local_model ; x-with-even-squared]
       mean: (R, I)            standardization mean per input element
       std:  (R, I)
+      n_in: static input count (needed to derive the Win block map)
     """
     cols: jnp.ndarray
     vals: jnp.ndarray
-    win: jnp.ndarray
+    win_vals: jnp.ndarray
     wout: jnp.ndarray
     mean: jnp.ndarray
     std: jnp.ndarray
+    n_in: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n(self):
-        return self.win.shape[1]
+        return self.win_vals.shape[1]
 
     @property
     def n_inputs(self):
-        return self.win.shape[2]
+        return self.n_in
 
     @property
     def n_outputs(self):
@@ -62,7 +68,13 @@ class BatchedReservoir:
 
     @property
     def n_speedy(self):
-        return self.wout.shape[2] - self.win.shape[1]
+        return self.wout.shape[2] - self.win_vals.shape[1]
+
+    def win_apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Win @ u for the block-diagonal Win. u (R, I) -> (R, n)."""
+        q = self.n // self.n_in
+        row_col = jnp.arange(self.n) // q
+        return self.win_vals * jnp.take(u, row_col, axis=1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,33 +113,28 @@ def radius_by_lat(lat_start: np.ndarray, lat_end: np.ndarray) -> np.ndarray:
 # generation
 # ----------------------------------------------------------------------
 
-def _ell_from_perms(key, n: int, k: int, J: int):
-    """ELL (cols, mask) replicating makesparse's permutation draws.
+def _ell_from_perms(rng: np.random.Generator, n: int, k: int, J: int):
+    """ELL (cols, mask) replicating makesparse's permutation draws (numpy).
 
     rows and cols are each concatenations of random permutations of 0..n-1
     (plus a partial one); grouping by row index gives degree
-    {k//n, k//n+1}.  Returns cols (n, J) int32 and mask (n, J)."""
+    {k//n, k//n+1}.  Host-side: pure index bookkeeping, done once at model
+    build.  Returns cols (n, J) int32 and mask (n, J) float32."""
     counter = k // n
     leftover = k - counter * n
-    kr, kc, kl1, kl2 = jax.random.split(key, 4)
-    # row indices: `counter` full permutations + `leftover` partial
-    rows_full = jnp.concatenate(
-        [jax.random.permutation(jax.random.fold_in(kr, i), n)
-         for i in range(counter)] +
-        ([jax.random.permutation(kl1, n)[:leftover]] if leftover else []))
-    cols_full = jnp.concatenate(
-        [jax.random.permutation(jax.random.fold_in(kc, i), n)
-         for i in range(counter)] +
-        ([jax.random.permutation(kl2, n)[:leftover]] if leftover else []))
-    # scatter into ELL: position of each entry within its row
-    # entries i*n..(i+1)*n-1 are a permutation -> slot i for every row
-    slot = jnp.concatenate(
-        [jnp.full((n,), i, dtype=jnp.int32) for i in range(counter)] +
-        ([jnp.full((leftover,), counter, dtype=jnp.int32)] if leftover else []))
-    cols = jnp.zeros((n, J), dtype=jnp.int32)
-    mask = jnp.zeros((n, J), dtype=jnp.float32)
-    cols = cols.at[rows_full, slot].set(cols_full.astype(jnp.int32))
-    mask = mask.at[rows_full, slot].set(1.0)
+    rows = np.concatenate(
+        [rng.permutation(n) for _ in range(counter)]
+        + ([rng.permutation(n)[:leftover]] if leftover else []))
+    colv = np.concatenate(
+        [rng.permutation(n) for _ in range(counter)]
+        + ([rng.permutation(n)[:leftover]] if leftover else []))
+    slot = np.concatenate(
+        [np.full(n, i, dtype=np.int32) for i in range(counter)]
+        + ([np.full(leftover, counter, dtype=np.int32)] if leftover else []))
+    cols = np.zeros((n, J), dtype=np.int32)
+    mask = np.zeros((n, J), dtype=np.float32)
+    cols[rows, slot] = colv
+    mask[rows, slot] = 1.0
     return cols, mask
 
 
@@ -168,28 +175,28 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
     J = k // n + (1 if k % n else 0)
     radius = jnp.broadcast_to(jnp.asarray(radius, dtype=dtype), (n_regions,))
 
-    keys = jax.random.split(key, n_regions)
-
-    def gen_one(kr):
-        k1, k2 = jax.random.split(kr)
-        cols, mask = _ell_from_perms(k1, n, k, J)
-        vals = jax.random.uniform(k2, (n, J), dtype=dtype) * mask
-        return cols, vals
-
-    cols, vals = jax.vmap(gen_one)(keys)
+    # host-side structure generation, seeded from the JAX key
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    cols_np = np.zeros((n_regions, n, J), dtype=np.int32)
+    vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
+    for r in range(n_regions):
+        rng = np.random.Generator(np.random.Philox(key=[seed, r]))
+        c, m = _ell_from_perms(rng, n, k, J)
+        cols_np[r] = c
+        vals_np[r] = rng.uniform(size=(n, J)) * m
+    cols = jnp.asarray(cols_np)
+    vals = jnp.asarray(vals_np, dtype=dtype)
     lam = spectral_radius(vals, cols, jax.random.fold_in(key, 7),
                           iters=radius_iters)
     vals = vals / lam[:, None, None] * radius[:, None, None]
 
-    # Win: block-diagonal, q = n/n_inputs rows per input, +-sigma uniform
-    q = n // n_inputs
+    # Win: block-diagonal, q = n/n_inputs rows per input, +-sigma uniform;
+    # stored as one value per row (see BatchedReservoir.win_vals)
     kw = jax.random.fold_in(key, 13)
-    ip = jax.random.uniform(kw, (n_regions, n_inputs, q), dtype=dtype,
-                            minval=-1.0, maxval=1.0) * hyper.sigma
-    win = jnp.zeros((n_regions, n, n_inputs), dtype=dtype)
-    rows = (jnp.arange(n_inputs)[:, None] * q + jnp.arange(q)[None, :])
-    win = win.at[:, rows, jnp.arange(n_inputs)[:, None]].set(ip)
-    return cols, vals, win
+    ip = jax.random.uniform(kw, (n_regions, n_inputs, n // n_inputs),
+                            dtype=dtype, minval=-1.0, maxval=1.0) * hyper.sigma
+    win_vals = ip.reshape(n_regions, n)
+    return cols, vals, win_vals
 
 
 # ----------------------------------------------------------------------
@@ -200,7 +207,7 @@ def esn_step(res: BatchedReservoir, x: jnp.ndarray, u: jnp.ndarray,
              leakage: float = 1.0) -> jnp.ndarray:
     """x' = (1-l) x + l tanh(A x + Win u); x (R, n), u (R, I)."""
     y = ell_spmv(res.vals, res.cols, x)
-    y = y + jnp.einsum("rni,ri->rn", res.win, u)
+    y = y + res.win_apply(u)
     xt = jnp.tanh(y)
     if leakage == 1.0:
         return xt

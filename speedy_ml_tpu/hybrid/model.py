@@ -63,7 +63,12 @@ class HybridState:
 
 
 class ClassPack(NamedTuple):
-    """Static per-class bundle: reservoir weights + geometry + scaling."""
+    """Per-class bundle: reservoir weights + geometry + scaling.
+
+    `cls` and `hyper` are static; `res` and `std` are the dynamic model
+    parameters.  Jitted entry points take the dynamic parts explicitly
+    (see HybridAtmosphere.params) so multi-GB weights are real arguments
+    of the XLA program, not captured constants."""
     cls: RegionClass
     res: BatchedReservoir
     hyper: ESNHyper
@@ -141,12 +146,22 @@ class HybridAtmosphere:
     # pieces of the cycle
     # ------------------------------------------------------------------
 
-    def predict_all(self, hstate: HybridState):
+    @property
+    def params(self):
+        """Dynamic model parameters: tuple of (res, std) per class."""
+        return tuple((p.res, p.std) for p in self.packs)
+
+    def _with_params(self, params):
+        """Packs with the dynamic parts replaced by `params`."""
+        return [ClassPack(cls=p.cls, res=r, hyper=p.hyper, std=s)
+                for p, (r, s) in zip(self.packs, params)]
+
+    def predict_all(self, packs, hstate: HybridState):
         """ESN step + readout for every region (predict/predict_ml,
         mod_reservoir.f90:1416-1533).  Returns (new xs, physical outvecs)."""
         new_x = []
         outvecs = []
-        for p, cs in zip(self.packs, hstate.classes):
+        for p, cs in zip(packs, hstate.classes):
             x = esn_step(p.res, cs.x, cs.feedback, p.hyper.leakage)
             lm = None if self.ml_only else cs.local_model
             out = readout(p.res, x, lm)
@@ -154,7 +169,7 @@ class HybridAtmosphere:
             new_x.append(x)
         return new_x, outvecs
 
-    def assemble_global(self, outvecs):
+    def assemble_global(self, packs, outvecs):
         """Scatter region outputs into global grids + clamps
         (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478)."""
         g = self.gcm.geom
@@ -162,7 +177,7 @@ class HybridAtmosphere:
         atmo = jnp.zeros((self.NVAR, self.nz, g.nlat, g.nlon), dtype=dt)
         logp = jnp.zeros((g.nlat, g.nlon), dtype=dt)
         precip = jnp.zeros((g.nlat, g.nlon), dtype=dt)
-        for p, vec in zip(self.packs, outvecs):
+        for p, vec in zip(packs, outvecs):
             parts = self.layout.unpack_core_vector(
                 p.cls, vec, self.NVAR, self.nz, logp=True, precip=True)
             atmo = self.layout.scatter_core(p.cls, parts["atmo"], atmo)
@@ -230,21 +245,21 @@ class HybridAtmosphere:
         logp = sht.spec_to_grid(sp.ps[0])
         return jnp.stack([t, u, v, q]), logp
 
-    def build_feedback(self, atmo, logp, precip, sst_grid, tisr_grid):
+    def build_feedback(self, packs, atmo, logp, precip, sst_grid, tisr_grid):
         """Per-class standardized feedback vectors (sendrecievegrid
         scatter + standardize, mpires.f90:561-750)."""
         out = []
-        for p in self.packs:
+        for p in packs:
             vec = self.layout.pack_vector(
                 p.cls, atmo, logp=logp, precip=precip, sst=sst_grid,
                 tisr=tisr_grid)
             out.append(p.std.standardize_input(vec))
         return out
 
-    def build_local_model(self, fc_atmo, fc_logp):
+    def build_local_model(self, packs, fc_atmo, fc_logp):
         """Per-class standardized SPEEDY forecast vectors (core, atmo+logp)."""
         out = []
-        for p in self.packs:
+        for p in packs:
             vec = self.layout.pack_vector(p.cls, fc_atmo, logp=fc_logp,
                                           core_only=True)
             # speedy vector = output layout minus the trailing precip block
@@ -270,10 +285,14 @@ class HybridAtmosphere:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def cycle(self, hstate: HybridState, imon, fmon, tyear) -> tuple:
-        """One 6-h hybrid step.  Returns (new_state, diagnostics dict)."""
-        new_x, outvecs = self.predict_all(hstate)
-        atmo, logp, precip = self.assemble_global(outvecs)
+    def cycle_with_params(self, params, hstate: HybridState, imon, fmon,
+                          tyear) -> tuple:
+        """One 6-h hybrid step with explicit parameters (jit arguments).
+
+        Returns (new_state, diagnostics dict)."""
+        packs = self._with_params(params)
+        new_x, outvecs = self.predict_all(packs, hstate)
+        atmo, logp, precip = self.assemble_global(packs, outvecs)
 
         if self.ml_only:
             fc_atmo = fc_logp = None
@@ -284,12 +303,12 @@ class HybridAtmosphere:
                 spec, hstate.sst_grid, imon, fmon, tyear)
 
         tisr = self.tisr_field(tyear)
-        feedbacks = self.build_feedback(atmo, logp, precip,
+        feedbacks = self.build_feedback(packs, atmo, logp, precip,
                                         hstate.sst_grid, tisr)
         if self.ml_only:
             locals_ = [cs.local_model for cs in hstate.classes]
         else:
-            locals_ = self.build_local_model(fc_atmo, fc_logp)
+            locals_ = self.build_local_model(packs, fc_atmo, fc_logp)
 
         classes = tuple(
             ClassState(x=x, feedback=fb, local_model=lm)
@@ -300,3 +319,7 @@ class HybridAtmosphere:
         diag = dict(atmo=atmo, logp=logp, precip=precip,
                     speedy_atmo=fc_atmo, speedy_logp=fc_logp)
         return new_state, diag
+
+    def cycle(self, hstate: HybridState, imon, fmon, tyear) -> tuple:
+        """Convenience wrapper using this instance's stored parameters."""
+        return self.cycle_with_params(self.params, hstate, imon, fmon, tyear)

@@ -113,7 +113,7 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     n = vals.shape[1]
     O = target.shape[2]
     S = 0 if z_model is None else z_model.shape[2]
-    res = BatchedReservoir(cols=cols, vals=vals, win=win,
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I,
                            wout=jnp.zeros((Rc, O, S + n), dtype=dtype),
                            mean=std.in_mean, std=std.in_std)
 

@@ -105,7 +105,7 @@ def test_lorenz63_prediction():
     n = vals.shape[1]
 
     series = jnp.asarray(np.broadcast_to(z[:, None, :], (len(z), R, 3)))
-    res = BatchedReservoir(cols=cols, vals=vals, win=win,
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=3,
                            wout=jnp.zeros((R, 3, n)),
                            mean=jnp.zeros((R, 3)), std=jnp.ones((R, 3)))
 
@@ -117,7 +117,7 @@ def test_lorenz63_prediction():
                                series[n_discard:], None, x0,
                                batch_size=1000)
     wout = solve_wout(eq, hyper, n_speedy=0)
-    res = BatchedReservoir(cols=cols, vals=vals, win=win, wout=wout,
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=3, wout=wout,
                            mean=res.mean, std=res.std)
 
     # synchronize on held-out segment then free-run: after absorbing input
