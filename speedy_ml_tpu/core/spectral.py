@@ -151,7 +151,8 @@ class SpectralTransform:
         tab = _legendre_tables(geom)
         ops = _operator_tables(geom, radius, tab)
 
-        f = lambda x: jnp.asarray(x, dtype=self.dtype)
+        # host-side (numpy) tables: embedded as XLA constants at trace time
+        f = lambda x: np.asarray(x, dtype=self.dtype)
         iy = geom.nlat_half
         n_idx = np.arange(geom.nx)
         even_n = (n_idx % 2 == 0).astype(np.float64)
@@ -181,7 +182,7 @@ class SpectralTransform:
         cosg = geom.cos_lat
         self.cosgr = f(1.0 / cosg)       # (nlat,)
         self.cosgr2 = f(1.0 / cosg**2)
-        self.ll = jnp.asarray(tab["ll"])  # int
+        self.ll = np.asarray(tab["ll"])  # int
 
     # ------------------------------------------------------------------
     # longitude (Fourier) leg

@@ -83,7 +83,7 @@ class DycoreModel:
         self.wil = wil
 
         c = constants
-        f = lambda x: jnp.asarray(x, dtype=self.dtype)
+        f = lambda x: np.asarray(x, dtype=self.dtype)
 
         # vertical tables (ini_indyns.f90:50-64)
         self.dhs = f(geom.dhs)
@@ -213,7 +213,7 @@ class DycoreModel:
 
         xc_scaled = xc * xi
 
-        f = lambda x: jnp.asarray(x, dtype=self.dtype)
+        f = lambda x: np.asarray(x, dtype=self.dtype)
         return ImplicitCoeffs(
             tref=f(tref), tref1=f(tref1), tref2=f(tref2), tref3=f(tref3),
             xc=f(xc_scaled), xd=f(xd), xj_g=f(xj_g), dhsx=f(dhsx),

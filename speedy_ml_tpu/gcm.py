@@ -86,8 +86,11 @@ class GCM:
         lat_deg = np.rad2deg(geom.lat_radians)
         self.slab = build_slab_coeffs(self.bd, lat_deg, self.dtype)
         self.nsteps_day = nsteps_day
-        self.phis = self.sht.trunct(
-            self.sht.grid_to_spec(self.bd.orog))
+        # spectral orography is a static table: build on CPU, hold as numpy
+        # (device-array constants cannot be embedded by every backend)
+        with jax.default_device(jax.devices("cpu")[0]):
+            self.phis = np.asarray(self.sht.trunct(
+                self.sht.grid_to_spec(jnp.asarray(self.bd.orog))))
 
     # ------------------------------------------------------------------
 

@@ -21,8 +21,12 @@ NVAR = 4
 
 
 def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
-                   dtype=jnp.float32, radius_iters: int = 30) -> ClassPack:
-    """Reservoirs with random Wout and unit standardization (benchmark use)."""
+                   dtype=jnp.float32, radius_iters: int = 30,
+                   skip_wout: bool = False) -> ClassPack:
+    """Reservoirs with random Wout and unit standardization (benchmark use).
+
+    skip_wout leaves a dummy (Rc, O, 0)-shaped Wout for the caller to fill
+    (so the big array can be created directly on the target device)."""
     xi, yi = cls.input_shape
     xc, yc = cls.core_shape
     lay_in = build_layout(xi, yi, NVAR, nz, logp=True, precip=True, sst=True,
@@ -38,8 +42,11 @@ def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
     cols, vals, win = generate(key, Rc, I, hyper, radius, dtype=dtype,
                                radius_iters=radius_iters)
     n = vals.shape[1]
-    wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 5),
-                                    (Rc, O, S + n), dtype=dtype)
+    if skip_wout:
+        wout = jnp.zeros((Rc, O, 0), dtype=dtype)
+    else:
+        wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 5),
+                                        (Rc, O, S + n), dtype=dtype)
 
     nc = n_components(NVAR, nz, logp=True, precip=True, sst=True, tisr=True)
     comp_in = component_expansion(xi, yi, NVAR, nz, logp=True, precip=True,
@@ -68,8 +75,25 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
     key = key if key is not None else jax.random.PRNGKey(0)
     layout = RegionLayout(gcm.geom, n_regions=n_regions, overlap=1)
     hyper = ESNHyper(m=m)
-    packs = [untrained_pack(layout, cls, hyper, jax.random.fold_in(key, i),
-                            gcm.geom.nlev, dtype=gcm.dtype,
-                            radius_iters=radius_iters)
-             for i, cls in enumerate(layout.classes)]
-    return HybridAtmosphere(gcm, layout, packs, ml_only=ml_only)
+    # Structure generation on the CPU backend (construction must not hammer
+    # the accelerator); the big Wout is generated directly on the default
+    # device to avoid a multi-GB host->device transfer.
+    import dataclasses
+    with jax.default_device(jax.devices("cpu")[0]):
+        packs = [untrained_pack(layout, cls, hyper,
+                                jax.random.fold_in(key, i), gcm.geom.nlev,
+                                dtype=gcm.dtype, radius_iters=radius_iters,
+                                skip_wout=True)
+                 for i, cls in enumerate(layout.classes)]
+    out = []
+    for i, p in enumerate(packs):
+        res = jax.device_put(p.res) if jax.default_backend() != "cpu" else p.res
+        std = jax.device_put(p.std) if jax.default_backend() != "cpu" else p.std
+        Rc, O = p.cls.count, p.res.n_outputs
+        xc, yc = p.cls.core_shape
+        S, n = O - xc * yc, p.res.n   # speedy vec = output minus precip block
+        wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 1000 + i),
+                                        (Rc, O, S + n), dtype=gcm.dtype)
+        res = dataclasses.replace(res, wout=wout)
+        out.append(ClassPack(cls=p.cls, res=res, hyper=p.hyper, std=std))
+    return HybridAtmosphere(gcm, layout, out, ml_only=ml_only)

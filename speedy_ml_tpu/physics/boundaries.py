@@ -95,9 +95,13 @@ def load_boundary_data(geom, sht, grav: float = 9.81,
 
     orog_m = rd(20, 0)
     phi0 = grav * orog_m
-    # spectral truncation of the surface geopotential (truncg at ntrun)
-    phis_spec = sht.grid_to_spec(jnp.asarray(phi0, dtype=sht.dtype))
-    phis0 = np.asarray(sht.spec_to_grid(sht.trunct(phis_spec)), dtype=np.float64)
+    # spectral truncation of the surface geopotential (truncg at ntrun);
+    # host-side prep: pin to the CPU backend so model construction never
+    # touches the accelerator
+    with jax.default_device(jax.devices("cpu")[0]):
+        phis_spec = sht.grid_to_spec(jnp.asarray(phi0, dtype=sht.dtype))
+        phis0 = np.asarray(sht.spec_to_grid(sht.trunct(phis_spec)),
+                           dtype=np.float64)
 
     fmask = rd(20, 1)
     fmask_l = fmask.copy()
@@ -134,7 +138,7 @@ def load_boundary_data(geom, sht, grav: float = 9.81,
     sice12 = np.stack([forchk(bmask_s, np.maximum(rd(22, it), 0.0), 0.0)
                        for it in range(12)])
 
-    f = lambda x: jnp.asarray(x, dtype=sht.dtype)
+    f = lambda x: np.asarray(x, dtype=sht.dtype)
     return BoundaryData(
         orog=f(phi0), phis0=f(phis0), fmask=f(fmask), fmask_l=f(fmask_l),
         bmask_l=f(bmask_l), fmask_s=f(fmask_s), bmask_s=f(bmask_s),
@@ -161,7 +165,7 @@ def synthetic_boundary_data(geom, sht, grav: float = 9.81,
         for m in range(12)])
     sst12 = np.maximum(sst12, 271.4)
     stl12 = sst12.copy()
-    f = lambda x: jnp.asarray(x, dtype=sht.dtype)
+    f = lambda x: np.asarray(x, dtype=sht.dtype)
     return BoundaryData(
         orog=f(zeros), phis0=f(zeros), fmask=f(fmask),
         fmask_l=f(fmask), bmask_l=f(fmask), fmask_s=f(1.0 - fmask),
@@ -179,5 +183,5 @@ def save_npz(bd: BoundaryData, path: str):
 
 def load_npz(path: str, dtype=jnp.float32) -> BoundaryData:
     z = np.load(path)
-    f = lambda x: jnp.asarray(x, dtype=dtype)
+    f = lambda x: np.asarray(x, dtype=dtype)
     return BoundaryData(**{k: f(z[k]) for k in BoundaryData.__dataclass_fields__})

@@ -99,16 +99,16 @@ class PhysicsModel:
         self.sigh = hsg
         self.dsig = dsig
         self.sigl = sigl
-        # wvi2 is gathered by traced level indices (convmf top layer) ->
-        # must be a device array; keep host scalars for the static uses
-        self.wvi2 = jnp.asarray(wvi2, dtype=self.dtype)
+        # wvi2 is host-side; convmf gathers it by traced indices so it is
+        # converted with jnp.asarray at the call site in compute()
+        self.wvi2 = np.asarray(wvi2, dtype=self.dtype)
         self.wvi2_bot = float(wvi2[geom.nlev - 1])
         self.sigl_bot = float(sigl[geom.nlev - 1])
         self.grdsig = constants.grav / (dsig * constants.p0)
         self.grdscp = self.grdsig / constants.cp
         self.slat = geom.sin_lat
         self.clat = geom.cos_lat
-        self.fband = jnp.asarray(rad.build_fband(), dtype=self.dtype)
+        self.fband = np.asarray(rad.build_fband(), dtype=self.dtype)
 
     # ------------------------------------------------------------------
 
@@ -174,7 +174,7 @@ class PhysicsModel:
 
         # --- precipitation ---
         itop, cbmf, precnv, dfse, dfqa = convmf(
-            psg, se, qg, qsat, sig=sig, dsig=dsig, wvi2=self.wvi2,
+            psg, se, qg, qsat, sig=sig, dsig=dsig, wvi2=jnp.asarray(self.wvi2),
             p0=c.p0, grav=c.grav, alhc=c.alhc)
         tt_cnv = dfse * rps[None] * grdscp[:, None, None]
         qt_cnv = dfqa * rps[None] * grdsig[:, None, None]

@@ -26,6 +26,7 @@ def forint(for12: jnp.ndarray, imon: jnp.ndarray, fmon: jnp.ndarray) -> jnp.ndar
     """Linear interpolation of monthly climatology (cpl_bcinterp.f90:1-23).
 
     for12: (12, ...); imon: 0-based month index; fmon in (0, 1)."""
+    for12 = jnp.asarray(for12)
     imon2 = jnp.where(fmon <= 0.5, (imon - 1) % 12, (imon + 1) % 12)
     wmon = jnp.where(fmon <= 0.5, 0.5 - fmon, fmon - 0.5)
     return for12[imon] + wmon * (for12[imon2] - for12[imon])
@@ -33,6 +34,7 @@ def forint(for12: jnp.ndarray, imon: jnp.ndarray, fmon: jnp.ndarray) -> jnp.ndar
 
 def forin5(for12: jnp.ndarray, imon: jnp.ndarray, fmon: jnp.ndarray) -> jnp.ndarray:
     """Mean-conserving nonlinear interpolation (cpl_bcinterp.f90:25-60)."""
+    for12 = jnp.asarray(for12)
     im2, im1 = (imon - 2) % 12, (imon - 1) % 12
     ip1, ip2 = (imon + 1) % 12, (imon + 2) % 12
     c0 = 1.0 / 12.0
@@ -91,7 +93,7 @@ def build_slab_coeffs(bd: BoundaryData, lat_deg: np.ndarray, dtype) -> SlabCoeff
     cdsea = dmask * tdsst / (1.0 + dmask * tdsst)
     cdice = dmask * tdice / (1.0 + dmask * tdice)
 
-    f = lambda x: jnp.asarray(x, dtype=dtype)
+    f = lambda x: np.asarray(x, dtype=dtype)
     return SlabCoeffs(rhcapl=f(rhcapl), cdland=f(cdland), rhcaps=f(rhcaps),
                       rhcapi=f(rhcapi), cdsea=f(cdsea), cdice=f(cdice))
 

@@ -35,9 +35,9 @@ def build_fband() -> np.ndarray:
     return fband[100:401]
 
 
-def _fband_lookup(fband_tab: jnp.ndarray, ta: jnp.ndarray, jb: int) -> jnp.ndarray:
+def _fband_lookup(fband_tab, ta: jnp.ndarray, jb: int) -> jnp.ndarray:
     idx = jnp.clip(jnp.round(ta).astype(jnp.int32), 100, 400) - 100
-    return fband_tab[:, jb][idx]
+    return jnp.asarray(fband_tab)[:, jb][idx]
 
 
 class SolarForcing(NamedTuple):
