@@ -29,20 +29,28 @@ def main():
     from speedy_ml_tpu.hybrid.build import build_untrained_hybrid
     from __graft_entry__ import _boundary
 
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    log("bench: devices", jax.devices())
+
     geom = Geometry()
     sht = SpectralTransform(geom, dtype=jnp.float32)
     gcm = GCM(geom, dtype=jnp.float32, bd=_boundary(geom, sht))
+    log("bench: gcm built")
     # production-scale reservoirs: m=6000 -> n=5760/region, 1,152 regions
-    hyb = build_untrained_hybrid(gcm, m=6000, radius_iters=10)
+    m = int(os.environ.get("BENCH_M", "6000"))
+    hyb = build_untrained_hybrid(gcm, m=m, radius_iters=10)
+    log("bench: hybrid built, m =", m)
 
-    hstate = hyb.init_state(gcm.bd.sst12[0])
+    hstate = hyb.init_state(jnp.asarray(gcm.bd.sst12[0]))
     imon = jnp.asarray(0)
     fmon = jnp.asarray(0.5, jnp.float32)
     tyear = jnp.asarray(0.05, jnp.float32)
+    log("bench: state initialized; compiling cycle")
 
     # compile + warmup
     hstate2, _ = hyb.cycle(hstate, imon, fmon, tyear)
     jax.block_until_ready(hstate2.classes[0].x)
+    log("bench: compiled; timing")
 
     n_cycles = int(os.environ.get("BENCH_CYCLES", "20"))
     t0 = time.time()
