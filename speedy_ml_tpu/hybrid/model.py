@@ -55,11 +55,34 @@ class ClassState:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class OceanClassState:
+    """Slab-ocean reservoir state for one region class."""
+    x: jnp.ndarray        # (Rc, n_o)
+    buffer: jnp.ndarray   # (W, Rc, I_o) rolling atmo-input buffer (W=27)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class HybridState:
     classes: tuple            # tuple[ClassState, ...]
     sst_grid: jnp.ndarray     # (lat, lon) current SST seen by SPEEDY + ESNs
     safe: jnp.ndarray         # bool: SPEEDY safety gate
     step: jnp.ndarray         # int32 cycle counter
+    ocean: tuple = ()         # tuple[OceanClassState, ...] (empty: climo SST)
+
+
+class OceanPack(NamedTuple):
+    """Slab-ocean reservoirs for one region class.
+
+    idx_map: static indices into the class's atmo input vector
+    (atmo_training_data_idx equivalent); mean_sst/std_sst: the atmo
+    standardizer's SST scalars (outputs unstandardize with them)."""
+    cls: RegionClass
+    res: BatchedReservoir
+    hyper: ESNHyper
+    idx_map: np.ndarray
+    mean_sst: jnp.ndarray    # (Rc, 1)
+    std_sst: jnp.ndarray
 
 
 class ClassPack(NamedTuple):
@@ -81,12 +104,22 @@ class HybridAtmosphere:
     TIMESTEP_HOURS = 6
     NVAR = 4  # T, u, v, q
 
+    SLAB_STRIDE = 28   # atmosphere cycles per ocean step (168 h / 6 h)
+
     def __init__(self, gcm: GCM, layout: RegionLayout,
-                 packs: list[ClassPack], ml_only: bool = False):
+                 packs: list[ClassPack], ml_only: bool = False,
+                 ocean_packs: Optional[list] = None,
+                 base_sst: Optional[jnp.ndarray] = None,
+                 sea_mask: Optional[jnp.ndarray] = None):
         self.gcm = gcm
         self.layout = layout
         self.packs = packs
         self.ml_only = ml_only
+        self.ocean_packs = ocean_packs
+        # base_sst/sea_mask: land fill values + mask for the ML SST grid
+        # (mpires.f90:458-472; sea_mask > 0 means LAND there)
+        self.base_sst = base_sst
+        self.sea_mask = sea_mask
         g = gcm.geom
         self.nz = g.nlev
         # steps of the GCM inside one hybrid window
@@ -102,9 +135,24 @@ class HybridAtmosphere:
                 x=jnp.zeros((Rc, p.res.n), dtype=self.gcm.dtype),
                 feedback=jnp.zeros((Rc, p.res.n_inputs), dtype=self.gcm.dtype),
                 local_model=jnp.zeros((Rc, p.res.n_speedy), dtype=self.gcm.dtype)))
-        return HybridState(classes=tuple(cls_states), sst_grid=sst_grid,
+        return HybridState(classes=tuple(cls_states),
+                           sst_grid=jnp.asarray(sst_grid),
                            safe=jnp.asarray(True),
-                           step=jnp.asarray(0, dtype=jnp.int32))
+                           step=jnp.asarray(0, dtype=jnp.int32),
+                           ocean=self._init_ocean_states())
+
+    def _init_ocean_states(self) -> tuple:
+        if not self.ocean_packs:
+            return ()
+        W = self.SLAB_STRIDE - 1
+        out = []
+        for op in self.ocean_packs:
+            Rc = op.cls.count
+            I_o = len(op.idx_map)
+            out.append(OceanClassState(
+                x=jnp.zeros((Rc, op.res.n), dtype=self.gcm.dtype),
+                buffer=jnp.zeros((W, Rc, I_o), dtype=self.gcm.dtype)))
+        return tuple(out)
 
     def start_prediction(self, truth_sync: dict, model_next: Optional[dict],
                          sst0: jnp.ndarray) -> HybridState:
@@ -138,9 +186,27 @@ class HybridAtmosphere:
                                dtype=self.gcm.dtype)
             cls_states.append(ClassState(x=x, feedback=feedback,
                                          local_model=lm))
-        return HybridState(classes=tuple(cls_states), sst_grid=sst0,
+
+        # seed the ocean rolling buffers from the sync window
+        ocean_states = []
+        if self.ocean_packs:
+            W = self.SLAB_STRIDE - 1
+            for op, p in zip(self.ocean_packs, self.packs):
+                series = pack_class_series(self.layout, op.cls, truth_sync)
+                z = p.std.standardize_input(series.astype(self.gcm.dtype))
+                o_series = z[:, :, jnp.asarray(op.idx_map)]
+                T = o_series.shape[0]
+                reps = (W + T - 1) // T
+                buf = jnp.tile(o_series, (reps, 1, 1))[-W:]
+                ocean_states.append(OceanClassState(
+                    x=jnp.zeros((op.cls.count, op.res.n),
+                                dtype=self.gcm.dtype),
+                    buffer=buf))
+        return HybridState(classes=tuple(cls_states),
+                           sst_grid=jnp.asarray(sst0),
                            safe=jnp.asarray(True),
-                           step=jnp.asarray(0, dtype=jnp.int32))
+                           step=jnp.asarray(0, dtype=jnp.int32),
+                           ocean=tuple(ocean_states))
 
     # ------------------------------------------------------------------
     # pieces of the cycle
@@ -148,13 +214,21 @@ class HybridAtmosphere:
 
     @property
     def params(self):
-        """Dynamic model parameters: tuple of (res, std) per class."""
-        return tuple((p.res, p.std) for p in self.packs)
+        """Dynamic model parameters: (atmo (res, std) tuple, ocean tuple)."""
+        atmo = tuple((p.res, p.std) for p in self.packs)
+        ocean = tuple((op.res, op.mean_sst, op.std_sst)
+                      for op in (self.ocean_packs or ()))
+        return (atmo, ocean)
 
     def _with_params(self, params):
-        """Packs with the dynamic parts replaced by `params`."""
-        return [ClassPack(cls=p.cls, res=r, hyper=p.hyper, std=s)
-                for p, (r, s) in zip(self.packs, params)]
+        """(atmo packs, ocean packs) with dynamic parts from `params`."""
+        atmo_p, ocean_p = params
+        packs = [ClassPack(cls=p.cls, res=r, hyper=p.hyper, std=s)
+                 for p, (r, s) in zip(self.packs, atmo_p)]
+        opacks = [OceanPack(cls=op.cls, res=r, hyper=op.hyper,
+                            idx_map=op.idx_map, mean_sst=m, std_sst=s)
+                  for op, (r, m, s) in zip(self.ocean_packs or (), ocean_p)]
+        return packs, opacks
 
     def predict_all(self, packs, hstate: HybridState):
         """ESN step + readout for every region (predict/predict_ml,
@@ -290,7 +364,7 @@ class HybridAtmosphere:
         """One 6-h hybrid step with explicit parameters (jit arguments).
 
         Returns (new_state, diagnostics dict)."""
-        packs = self._with_params(params)
+        packs, opacks = self._with_params(params)
         new_x, outvecs = self.predict_all(packs, hstate)
         atmo, logp, precip = self.assemble_global(packs, outvecs)
 
@@ -310,12 +384,40 @@ class HybridAtmosphere:
         else:
             locals_ = self.build_local_model(packs, fc_atmo, fc_logp)
 
+        # --- slab-ocean reservoirs: accumulate every cycle, step every
+        #     SLAB_STRIDE cycles (parallelmain.f90:236-248, mpires.f90:753-757)
+        sst_grid = hstate.sst_grid
+        new_ocean = hstate.ocean
+        if opacks and len(hstate.ocean):
+            do_step = (hstate.step % self.SLAB_STRIDE) == (self.SLAB_STRIDE - 1)
+            sst_new = jnp.zeros_like(sst_grid)
+            ocean_states = []
+            for op, ocs, fb in zip(opacks, hstate.ocean, feedbacks):
+                o_in = fb[:, jnp.asarray(op.idx_map)]
+                buffer = jnp.concatenate([ocs.buffer[1:], o_in[None]], axis=0)
+                fb_mean = buffer.mean(axis=0)
+                x_new = esn_step(op.res, ocs.x, fb_mean, op.hyper.leakage)
+                out = readout(op.res, x_new)
+                out_phys = out * op.std_sst + op.mean_sst
+                x_keep = jnp.where(do_step, x_new, ocs.x)
+                ocean_states.append(OceanClassState(x=x_keep, buffer=buffer))
+                xc, yc = op.cls.core_shape
+                patches = out_phys.reshape(-1, yc, xc)
+                sst_new = self.layout.scatter_core(op.cls, patches, sst_new)
+            # land fill + freezing floor (mpires.f90:458-472)
+            if self.sea_mask is not None:
+                sst_new = jnp.where(jnp.asarray(self.sea_mask) > 0.0,
+                                    jnp.asarray(self.base_sst), sst_new)
+            sst_new = jnp.maximum(sst_new, 272.0)
+            sst_grid = jnp.where(do_step, sst_new, sst_grid)
+            new_ocean = tuple(ocean_states)
+
         classes = tuple(
             ClassState(x=x, feedback=fb, local_model=lm)
             for x, fb, lm in zip(new_x, feedbacks, locals_))
-        new_state = HybridState(classes=classes, sst_grid=hstate.sst_grid,
+        new_state = HybridState(classes=classes, sst_grid=sst_grid,
                                 safe=hstate.safe & safe,
-                                step=hstate.step + 1)
+                                step=hstate.step + 1, ocean=new_ocean)
         diag = dict(atmo=atmo, logp=logp, precip=precip,
                     speedy_atmo=fc_atmo, speedy_logp=fc_logp)
         return new_state, diag

@@ -142,16 +142,90 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     return ClassPack(cls=cls, res=res, hyper=hyper, std=std)
 
 
+def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
+                      nz: int, *, slab_stride: int = 28,
+                      n_discard: int = 2, dtype=jnp.float32,
+                      truth: dict = None, precip_eps: float = 0.001):
+    """Train the slab-ocean reservoirs of one class
+    (train_slab_ocean_model / get_training_data_from_atmo,
+    mod_slab_ocean_reservoir.f90:173-376).
+
+    Inputs are the atmo-standardized vectors (via the static index map),
+    7-day-rolling-averaged and strided to the slab step; the target is the
+    one-slab-step-ahead SST core."""
+    from speedy_ml_tpu.esn.ocean import (ocean_index_map, ocean_target_slice,
+                                         rolling_mean, sst_core_from_input)
+    from speedy_ml_tpu.hybrid.model import OceanPack
+
+    series = pack_class_series(layout, cls, truth, precip_eps).astype(dtype)
+    z_in = atmo_pack.std.standardize_input(series)
+
+    idx_map = ocean_index_map(cls, nz)
+    o_series = rolling_mean(z_in[:, :, jnp.asarray(idx_map)], slab_stride)
+    o_series = o_series[slab_stride - 1::slab_stride]     # (T_slab, Rc, I_o)
+
+    sl = ocean_target_slice(cls, nz)
+    sst_block = z_in[slab_stride - 1::slab_stride][:, :, sl[0]:sl[1]]
+    T_slab, Rc, _ = o_series.shape
+    target = sst_core_from_input(
+        cls, sst_block.reshape(T_slab * Rc, -1)).reshape(T_slab, Rc, -1)
+
+    radius = np.full(Rc, 0.9)  # initialize_slab_ocean_model:31
+    I_o = o_series.shape[2]
+    cols, vals, win = generate(key, Rc, I_o, hyper, radius, dtype=dtype)
+    n = vals.shape[1]
+    O = target.shape[2]
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I_o,
+                           wout=jnp.zeros((Rc, O, n), dtype=dtype),
+                           mean=jnp.zeros((Rc, I_o), dtype=dtype),
+                           std=jnp.ones((Rc, I_o), dtype=dtype))
+
+    L = T_slab - n_discard
+    batch_size = max(1, L - 1)    # single batch (train_slab_ocean_model:1331)
+    x0 = discard_transient(res, hyper, o_series[:n_discard])
+    eq, _ = accumulate_batches(res, hyper, o_series[n_discard:],
+                               target[n_discard:], None, x0, batch_size)
+    wout = solve_wout(eq, hyper, n_speedy=0)
+    res = dataclasses.replace(res, wout=wout)
+
+    # SST unstandardization scalars from the atmo standardizer
+    sst_comp = NVAR * nz + 2   # components: atmo(4*nz), logp, precip, sst
+    mean_sst = atmo_pack.std.comp_mean[:, sst_comp:sst_comp + 1]
+    std_sst = atmo_pack.std.comp_std[:, sst_comp:sst_comp + 1]
+    return OceanPack(cls=cls, res=res, hyper=hyper, idx_map=idx_map,
+                     mean_sst=mean_sst, std_sst=std_sst)
+
+
 def train_hybrid(gcm, layout: RegionLayout, truth: dict,
                  model: Optional[dict], hyper: ESNHyper, key,
+                 ocean: bool = False, ocean_hyper=None,
                  **kw) -> HybridAtmosphere:
     """Train every region class and assemble the hybrid atmosphere."""
+    from speedy_ml_tpu.esn.ocean import OCEAN_HYPER
+
     packs = []
     for i, cls in enumerate(layout.classes):
         packs.append(train_class(layout, cls, truth, model, hyper,
                                  jax.random.fold_in(key, i), gcm.geom.nlev,
                                  **kw))
-    return HybridAtmosphere(gcm, layout, packs, ml_only=model is None)
+    ocean_packs = None
+    base_sst = sea_mask = None
+    if ocean:
+        ocean_hyper = ocean_hyper or OCEAN_HYPER
+        ocean_packs = []
+        for i, (cls, p) in enumerate(zip(layout.classes, packs)):
+            ocean_packs.append(train_ocean_class(
+                layout, cls, p, ocean_hyper,
+                jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
+                truth=truth, dtype=kw.get("dtype", jnp.float32)))
+        # land points of the ML SST grid get the training-period mean SST
+        # (base_sst_grid, initialize_prediction:845-885); mask: land where
+        # the boundary land fraction exceeds the sea threshold
+        base_sst = jnp.asarray(truth["sst"].mean(axis=0))
+        sea_mask = jnp.asarray(np.asarray(gcm.bd.fmask_l) > 0.0)
+    return HybridAtmosphere(gcm, layout, packs, ml_only=model is None,
+                            ocean_packs=ocean_packs, base_sst=base_sst,
+                            sea_mask=sea_mask)
 
 
 # ----------------------------------------------------------------------
