@@ -1,0 +1,159 @@
+"""Checkpointing: trained hybrid weights save/load + reference import.
+
+Three formats (SURVEY 5: checkpoint families):
+1. native .npz bundles per region class (this framework's format);
+2. import of the reference's per-worker NetCDF4 weight files
+   (write_trained_res, mod_reservoir.f90:1701-1779: variables win, wout,
+   rows, cols, vals, mean, std in files worker_NNNN_level_N_<trial>.nc —
+   the Zenodo 10.5281/zenodo.7548902 artifact) via h5py: NetCDF4 is HDF5;
+3. GCM restart = the SpectralState pytree itself (np.savez of its leaves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.esn.reservoir import BatchedReservoir, ESNHyper
+from speedy_ml_tpu.esn.standardize import Standardizer
+
+
+def save_hybrid(hyb, path: str):
+    """Save all class packs (+ ocean) of a HybridAtmosphere to `path`/ ."""
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    meta = {"n_classes": len(hyb.packs), "ml_only": hyb.ml_only,
+            "has_ocean": hyb.ocean_packs is not None}
+    for i, pk in enumerate(hyb.packs):
+        arrs = {f"res_{k}": np.asarray(getattr(pk.res, k))
+                for k in ("cols", "vals", "win_vals", "wout", "mean", "std")}
+        arrs.update({f"std_{k}": np.asarray(getattr(pk.std, k))
+                     for k in ("comp_mean", "comp_std", "in_mean", "in_std",
+                               "out_mean", "out_std")})
+        arrs["n_in"] = np.asarray(pk.res.n_in)
+        arrs["region_ids"] = pk.cls.region_ids
+        np.savez_compressed(p / f"class_{i}.npz", **arrs)
+        meta[f"hyper_{i}"] = dataclasses.asdict(pk.hyper)
+    if hyb.ocean_packs:
+        for i, op in enumerate(hyb.ocean_packs):
+            arrs = {f"res_{k}": np.asarray(getattr(op.res, k))
+                    for k in ("cols", "vals", "win_vals", "wout", "mean", "std")}
+            arrs["n_in"] = np.asarray(op.res.n_in)
+            arrs["idx_map"] = op.idx_map
+            arrs["mean_sst"] = np.asarray(op.mean_sst)
+            arrs["std_sst"] = np.asarray(op.std_sst)
+            np.savez_compressed(p / f"ocean_{i}.npz", **arrs)
+            meta[f"ocean_hyper_{i}"] = dataclasses.asdict(op.hyper)
+        if hyb.base_sst is not None:
+            np.savez_compressed(p / "ocean_aux.npz",
+                                base_sst=np.asarray(hyb.base_sst),
+                                sea_mask=np.asarray(hyb.sea_mask))
+    (p / "meta.json").write_text(json.dumps(meta, indent=1))
+
+
+def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
+    """Rebuild a HybridAtmosphere from save_hybrid output."""
+    from speedy_ml_tpu.hybrid.model import (ClassPack, HybridAtmosphere,
+                                            OceanPack)
+    p = Path(path)
+    meta = json.loads((p / "meta.json").read_text())
+    packs = []
+    for i in range(meta["n_classes"]):
+        z = np.load(p / f"class_{i}.npz")
+        f = lambda k: jnp.asarray(z[k], dtype=dtype)
+        fi = lambda k: jnp.asarray(z[k])
+        res = BatchedReservoir(cols=fi("res_cols"), vals=f("res_vals"),
+                               win_vals=f("res_win_vals"), wout=f("res_wout"),
+                               mean=f("res_mean"), std=f("res_std"),
+                               n_in=int(z["n_in"]))
+        std = Standardizer(comp_mean=f("std_comp_mean"),
+                           comp_std=f("std_comp_std"),
+                           in_mean=f("std_in_mean"), in_std=f("std_in_std"),
+                           out_mean=f("std_out_mean"),
+                           out_std=f("std_out_std"))
+        hyper = ESNHyper(**meta[f"hyper_{i}"])
+        packs.append(ClassPack(cls=layout.classes[i], res=res, hyper=hyper,
+                               std=std))
+    ocean_packs = None
+    base_sst = sea_mask = None
+    if meta.get("has_ocean"):
+        ocean_packs = []
+        for i in range(meta["n_classes"]):
+            z = np.load(p / f"ocean_{i}.npz")
+            f = lambda k: jnp.asarray(z[k], dtype=dtype)
+            res = BatchedReservoir(cols=jnp.asarray(z["res_cols"]),
+                                   vals=f("res_vals"),
+                                   win_vals=f("res_win_vals"),
+                                   wout=f("res_wout"), mean=f("res_mean"),
+                                   std=f("res_std"), n_in=int(z["n_in"]))
+            hyper = ESNHyper(**meta[f"ocean_hyper_{i}"])
+            ocean_packs.append(OceanPack(
+                cls=layout.classes[i], res=res, hyper=hyper,
+                idx_map=z["idx_map"], mean_sst=f("mean_sst"),
+                std_sst=f("std_sst")))
+        aux = np.load(p / "ocean_aux.npz")
+        base_sst = jnp.asarray(aux["base_sst"], dtype=dtype)
+        sea_mask = jnp.asarray(aux["sea_mask"])
+    return HybridAtmosphere(gcm, layout, packs, ml_only=meta["ml_only"],
+                            ocean_packs=ocean_packs, base_sst=base_sst,
+                            sea_mask=sea_mask)
+
+
+# ----------------------------------------------------------------------
+# reference weight import (Zenodo artifact)
+# ----------------------------------------------------------------------
+
+def read_reference_worker(path: str) -> dict:
+    """Read one reference worker weight file (NetCDF4 via h5py).
+
+    Variables (mod_io.f90:2911-3009): win (n, I), wout (O, n+S),
+    rows/cols/vals (k,) COO of A, mean/std (components,).
+    NetCDF stores Fortran arrays transposed; this returns numpy arrays in
+    the (row-major) orientation documented above."""
+    import h5py
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k in ("win", "wout", "rows", "cols", "vals", "mean", "std"):
+            if k in f:
+                out[k] = np.asarray(f[k])
+    return out
+
+
+def coo_to_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+               n: int) -> tuple[np.ndarray, np.ndarray]:
+    """COO (1-based Fortran indices) -> ELL (cols, vals) padded arrays."""
+    r = rows.astype(np.int64) - 1
+    c = cols.astype(np.int64) - 1
+    counts = np.bincount(r, minlength=n)
+    J = int(counts.max())
+    ell_cols = np.zeros((n, J), dtype=np.int32)
+    ell_vals = np.zeros((n, J), dtype=np.float64)
+    slot = np.zeros(n, dtype=np.int64)
+    for i in range(len(r)):
+        ri = r[i]
+        ell_cols[ri, slot[ri]] = c[i]
+        ell_vals[ri, slot[ri]] = vals[i]
+        slot[ri] += 1
+    return ell_cols, ell_vals
+
+
+def win_to_rowvals(win: np.ndarray) -> np.ndarray:
+    """Block-diagonal Win (n, I) -> per-row values (n,).
+
+    The reference fills rows (i-1)q+1..iq of column i
+    (mod_reservoir.f90:270-278); verify the structure and compress."""
+    n, I = win.shape
+    q = n // I
+    row_col = np.arange(n) // q
+    vals = win[np.arange(n), row_col]
+    # structure check: everything off the block diagonal must be zero
+    w2 = win.copy()
+    w2[np.arange(n), row_col] = 0.0
+    if np.abs(w2).max() > 0:
+        raise ValueError("win is not block-diagonal; cannot compress")
+    return vals

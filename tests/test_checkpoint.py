@@ -1,0 +1,84 @@
+"""Checkpoint round-trip + reference-format import helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speedy_ml_tpu.core import Geometry, PhysicalConstants
+from speedy_ml_tpu.data.checkpoint import (coo_to_ell, load_hybrid,
+                                           save_hybrid, win_to_rowvals)
+from speedy_ml_tpu.esn.domain import RegionLayout
+from speedy_ml_tpu.esn.reservoir import ell_spmv
+from speedy_ml_tpu.gcm import GCM
+from speedy_ml_tpu.hybrid.build import build_untrained_hybrid
+from speedy_ml_tpu.physics.boundaries import synthetic_boundary_data
+
+GEOM = Geometry(trunc=10, nlon=32, nlat=16, nlev=8)
+
+
+def test_save_load_roundtrip(tmp_path):
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    sht = SpectralTransform(GEOM, dtype=jnp.float32)
+    gcm = GCM(GEOM, PhysicalConstants(), dtype=jnp.float32,
+              bd=synthetic_boundary_data(GEOM, sht))
+    hyb = build_untrained_hybrid(gcm, n_regions=128, m=300, radius_iters=5)
+    save_hybrid(hyb, tmp_path / "ckpt")
+
+    layout = RegionLayout(GEOM, n_regions=128, overlap=1)
+    hyb2 = load_hybrid(gcm, layout, tmp_path / "ckpt", dtype=jnp.float32)
+    for p1, p2 in zip(hyb.packs, hyb2.packs):
+        np.testing.assert_array_equal(np.asarray(p1.res.wout),
+                                      np.asarray(p2.res.wout))
+        np.testing.assert_array_equal(np.asarray(p1.res.cols),
+                                      np.asarray(p2.res.cols))
+        assert p1.res.n_in == p2.res.n_in
+        np.testing.assert_array_equal(np.asarray(p1.std.in_mean),
+                                      np.asarray(p2.std.in_mean))
+
+
+def test_coo_to_ell():
+    # 3x3 matrix with entries (1,1)=2, (1,3)=5, (3,2)=7 (1-based COO)
+    rows = np.array([1, 1, 3])
+    cols = np.array([1, 3, 2])
+    vals = np.array([2.0, 5.0, 7.0])
+    ell_cols, ell_vals = coo_to_ell(rows, cols, vals, 3)
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.asarray(ell_spmv(jnp.asarray(ell_vals[None]),
+                            jnp.asarray(ell_cols[None]),
+                            jnp.asarray(x[None])))[0]
+    np.testing.assert_allclose(y, [2 * 1 + 5 * 3, 0.0, 7 * 2])
+
+
+def test_win_to_rowvals():
+    n, I = 12, 3
+    q = n // I
+    rng = np.random.default_rng(0)
+    vals = rng.standard_normal(n)
+    win = np.zeros((n, I))
+    for i in range(I):
+        win[i * q:(i + 1) * q, i] = vals[i * q:(i + 1) * q]
+    got = win_to_rowvals(win)
+    np.testing.assert_allclose(got, vals)
+    win[0, 2] = 1.0   # break structure
+    with pytest.raises(ValueError):
+        win_to_rowvals(win)
+
+
+def test_reference_weight_reader_format(tmp_path):
+    """Round-trip through an h5py file shaped like the reference output."""
+    import h5py
+    n, I, O, k = 24, 6, 4, 40
+    rng = np.random.default_rng(1)
+    with h5py.File(tmp_path / "worker_0001_level_1_test.nc", "w") as f:
+        f["win"] = rng.standard_normal((n, I))
+        f["wout"] = rng.standard_normal((O, n))
+        f["rows"] = rng.integers(1, n + 1, size=k)
+        f["cols"] = rng.integers(1, n + 1, size=k)
+        f["vals"] = rng.standard_normal(k)
+        f["mean"] = rng.standard_normal(10)
+        f["std"] = np.abs(rng.standard_normal(10))
+    from speedy_ml_tpu.data.checkpoint import read_reference_worker
+    d = read_reference_worker(tmp_path / "worker_0001_level_1_test.nc")
+    assert d["win"].shape == (n, I)
+    assert d["vals"].shape == (k,)
