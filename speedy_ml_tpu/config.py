@@ -1,0 +1,94 @@
+"""Typed run configuration.
+
+Replaces the reference's configuration sprawl (SURVEY 5: compile-time
+constants in initialize_model_parameters, config.sh env vars, sed source
+rewriting, the fort.2 namelist, and the written controller file) with one
+dataclass that serializes to JSON.  Defaults reproduce the reference's
+production configuration (mod_reservoir.f90:12-75).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from speedy_ml_tpu.esn.reservoir import ESNHyper
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # --- geometry ---
+    trunc: int = 30
+    nlon: int = 96
+    nlat: int = 48
+    nlev: int = 8
+    n_regions: int = 1152
+    overlap: int = 1
+    num_vert_levels: int = 1
+    vert_overlap: int = 0
+
+    # --- hybrid cycle ---
+    timestep_hours: int = 6            # model_parameters%timestep
+    timestep_slab_hours: int = 168     # model_parameters%timestep_slab
+    ml_only: bool = False
+    slab_ocean: bool = True            # slab_ocean_model_bool
+    precip: bool = True                # precip_bool
+    precip_epsilon: float = 0.001
+
+    # --- training lengths (hours; mod_reservoir.f90:32-35) ---
+    discard_hours: int = 240
+    training_hours: int = 227760 - 240
+    sync_hours: int = 24 * 14
+    prediction_hours: int = 8760 * 20
+    n_batches: int = 20
+    n_subseries: Optional[int] = None  # default: timestep_hours (strided)
+
+    # --- reservoirs ---
+    atmo: ESNHyper = dataclasses.field(default_factory=ESNHyper)
+    ocean: ESNHyper = dataclasses.field(default_factory=lambda: ESNHyper(
+        m=4000, sigma=0.6, beta_res=1e-4, noise_mag=0.10, using_prior=False))
+
+    # --- numerics ---
+    dtype: str = "float32"
+    nsteps_day: int = 96
+
+    # --- data/paths ---
+    bc_path: Optional[str] = None
+    era_path: Optional[str] = None
+    output_path: str = "./output"
+    checkpoint_path: str = "./checkpoints"
+
+    # --- misc (reference parity) ---
+    sst_bias: float = 0.0
+    train_on_sst_anomalies: bool = False
+    seed: int = 33                     # init_random_marker(33)
+
+    def save(self, path: str):
+        d = dataclasses.asdict(self)
+        with open(path, "w") as f:
+            json.dump(d, f, indent=1)
+
+    @classmethod
+    def load(cls, path: str) -> "RunConfig":
+        with open(path) as f:
+            d = json.load(f)
+        d["atmo"] = ESNHyper(**d["atmo"])
+        d["ocean"] = ESNHyper(**d["ocean"])
+        return cls(**d)
+
+    def geometry(self):
+        from speedy_ml_tpu.core.geometry import Geometry
+        return Geometry(trunc=self.trunc, nlon=self.nlon, nlat=self.nlat,
+                        nlev=self.nlev)
+
+    def build_gcm(self, bd=None):
+        import jax.numpy as jnp
+        from speedy_ml_tpu.gcm import GCM
+        return GCM(self.geometry(), dtype=jnp.dtype(self.dtype),
+                   bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd)
+
+    def build_layout(self):
+        from speedy_ml_tpu.esn.domain import RegionLayout
+        return RegionLayout(self.geometry(), n_regions=self.n_regions,
+                            overlap=self.overlap)

@@ -91,7 +91,9 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
         std = jax.device_put(p.std) if jax.default_backend() != "cpu" else p.std
         Rc, O = p.cls.count, p.res.n_outputs
         xc, yc = p.cls.core_shape
-        S, n = O - xc * yc, p.res.n   # speedy vec = output minus precip block
+        # speedy vec = output minus precip block; absent in ml_only readout
+        S = 0 if ml_only else O - xc * yc
+        n = p.res.n
         wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 1000 + i),
                                         (Rc, O, S + n), dtype=gcm.dtype)
         res = dataclasses.replace(res, wout=wout)

@@ -1,0 +1,94 @@
+"""Prediction driver: the outer loop of a hybrid forecast run.
+
+Reference: parallelmain.f90:142-272 (trained-weight load, prediction
+initialization, the timestep loop with sendrecievegrid) — here a thin
+Python loop around the jitted cycle, with a streaming output writer
+replacing the root-rank NetCDF appends (mpires.f90:499-543).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.data.calendar import ModelDate
+
+
+class PredictionWriter:
+    """Streaming 6-hourly output (atmo/logp/precip/sst) to an .npz series.
+
+    Buffers in host memory and flushes in chunks; one file per run like
+    the reference's hybrid_prediction_era...nc."""
+
+    def __init__(self, path: str, flush_every: int = 64):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.buf = {k: [] for k in ("atmo", "logp", "precip", "sst")}
+        self.flush_every = flush_every
+        self.chunks = 0
+
+    def append(self, diag: dict, sst_grid):
+        self.buf["atmo"].append(np.asarray(diag["atmo"], dtype=np.float32))
+        self.buf["logp"].append(np.asarray(diag["logp"], dtype=np.float32))
+        self.buf["precip"].append(np.asarray(diag["precip"], dtype=np.float32))
+        self.buf["sst"].append(np.asarray(sst_grid, dtype=np.float32))
+        if len(self.buf["atmo"]) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self.buf["atmo"]:
+            return
+        out = {k: np.stack(v) for k, v in self.buf.items()}
+        np.savez_compressed(self.path.with_suffix(f".part{self.chunks}.npz"),
+                            **out)
+        self.chunks += 1
+        self.buf = {k: [] for k in self.buf}
+
+    def consolidate(self):
+        """Merge all parts into one file."""
+        self.flush()
+        parts = sorted(self.path.parent.glob(self.path.stem + ".part*.npz"),
+                       key=lambda p: int(p.suffixes[-2][5:]))
+        if not parts:
+            return
+        merged = {}
+        for k in ("atmo", "logp", "precip", "sst"):
+            merged[k] = np.concatenate([np.load(p)[k] for p in parts])
+        np.savez_compressed(self.path.with_suffix(".npz"), **merged)
+        for p in parts:
+            p.unlink()
+
+
+def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
+                   output_path: str | None = None,
+                   stop_if_unsafe: bool = True,
+                   timestep_hours: int = 6):
+    """Run `n_cycles` hybrid 6-h cycles from `hstate`.
+
+    Returns (final state, list of dates).  Stops early if the SPEEDY
+    safety gate trips (parallelmain.f90:268-270)."""
+    writer = PredictionWriter(output_path) if output_path else None
+    date = start_date
+    dates = []
+    params = hyb.params
+    dt = hyb.gcm.dtype
+    for i in range(n_cycles):
+        hstate, diag = hyb.cycle_with_params(
+            params, hstate, jnp.asarray(date.month - 1),
+            jnp.asarray(date.tmonth, dtype=dt),
+            jnp.asarray(date.tyear, dtype=dt))
+        dates.append(date)
+        date = date.advance_hours(timestep_hours)
+        if writer:
+            writer.append(diag, hstate.sst_grid)
+        if stop_if_unsafe and i % 16 == 15:
+            if not bool(hstate.safe):
+                print(f"prediction stopped: SPEEDY safety gate at cycle {i}")
+                break
+    if writer:
+        writer.consolidate()
+    return hstate, dates
