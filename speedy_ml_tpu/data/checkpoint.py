@@ -16,6 +16,7 @@ import json
 import os
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,10 +68,15 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
         z = np.load(p / f"class_{i}.npz")
         f = lambda k: jnp.asarray(z[k], dtype=dtype)
         fi = lambda k: jnp.asarray(z[k])
-        res = BatchedReservoir(cols=fi("res_cols"), vals=f("res_vals"),
+        cols = fi("res_cols")
+        onehots = None
+        if jax.default_backend() != "cpu" and cols.ndim == 2:
+            from speedy_ml_tpu.esn.reservoir import make_onehots
+            onehots = make_onehots(cols, z["res_vals"].shape[1], dtype)
+        res = BatchedReservoir(cols=cols, vals=f("res_vals"),
                                win_vals=f("res_win_vals"), wout=f("res_wout"),
                                mean=f("res_mean"), std=f("res_std"),
-                               n_in=int(z["n_in"]))
+                               n_in=int(z["n_in"]), onehots=onehots)
         std = Standardizer(comp_mean=f("std_comp_mean"),
                            comp_std=f("std_comp_std"),
                            in_mean=f("std_in_mean"), in_std=f("std_in_std"),

@@ -53,6 +53,11 @@ class BatchedReservoir:
     mean: jnp.ndarray
     std: jnp.ndarray
     n_in: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # one-hot slot matrices (J, n, n) for the MXU spmv path (shared-pattern
+    # reservoirs only); None -> gather path.  XLA/TPU executes gathers as
+    # slow scalar loops, so A x is reformulated as J one-hot matmuls:
+    # y = sum_j vals[:, :, j] * (x @ onehot_j^T) - exact same matrix.
+    onehots: jnp.ndarray | None = None
 
     @property
     def n(self):
@@ -139,7 +144,24 @@ def _ell_from_perms(rng: np.random.Generator, n: int, k: int, J: int):
 
 
 def ell_spmv(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x for batched ELL A. vals/cols (R, n, J); x (R, n) -> (R, n)."""
+    """y = A x for batched ELL A; x (R, n) -> (R, n).
+
+    Two layouts:
+    - shared pattern (cols (n, J)): the TPU-native default.  All regions
+      share the sparsity graph (values independent per region), so the
+      gather x.T[cols] grabs CONTIGUOUS (R,)-rows — sequential HBM
+      traffic instead of 36M random scalar loads.  Orders of magnitude
+      faster on TPU than the per-region-graph path.
+    - per-region pattern (cols (R, n, J)): needed for weights imported
+      from the reference (independent graphs per worker); falls back to
+      a batched random gather.
+    """
+    if cols.ndim == 2:
+        n, J = cols.shape
+        xt = x.T                                # (n, R) region-minor
+        xg = xt[cols.reshape(-1)]               # (n*J, R) contiguous rows
+        xg = xg.reshape(n, J, -1)
+        return jnp.sum(vals.transpose(1, 2, 0) * xg, axis=1).T
     gathered = jnp.take_along_axis(x[:, None, :], cols.reshape(x.shape[0], -1)[:, None, :],
                                    axis=2).reshape(cols.shape)
     return jnp.sum(vals * gathered, axis=-1)
@@ -164,12 +186,15 @@ def spectral_radius(vals, cols, key, iters: int = 200) -> jnp.ndarray:
 
 def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
              radius: np.ndarray | float, dtype=jnp.float32,
-             radius_iters: int = 200):
+             radius_iters: int = 200, shared_pattern: bool = True):
     """Random A (ELL) + Win for all regions (gen_res + the Win fill of
     train_reservoir, mod_reservoir.f90:180-281).
 
     radius: per-region spectral radius (R,) or scalar.
-    Returns (cols, vals, win)."""
+    shared_pattern: all regions share the sparsity graph (TPU-native
+    layout, see ell_spmv) with independent values; set False for the
+    reference's independent-graph-per-region behavior.
+    Returns (cols, vals, win); cols is (n, J) when shared."""
     n = hyper.nodes(n_inputs)
     k = hyper.nnz(n)
     J = k // n + (1 if k % n else 0)
@@ -177,15 +202,25 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
 
     # host-side structure generation, seeded from the JAX key
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-    cols_np = np.zeros((n_regions, n, J), dtype=np.int32)
-    vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
-    for r in range(n_regions):
-        rng = np.random.Generator(np.random.Philox(key=[seed, r]))
+    if shared_pattern:
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
         c, m = _ell_from_perms(rng, n, k, J)
-        cols_np[r] = c
-        vals_np[r] = rng.uniform(size=(n, J)) * m
-    cols = jnp.asarray(cols_np)
-    vals = jnp.asarray(vals_np, dtype=dtype)
+        cols = jnp.asarray(c)
+        vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
+        for r in range(n_regions):
+            rr = np.random.Generator(np.random.Philox(key=[seed, r]))
+            vals_np[r] = rr.uniform(size=(n, J)) * m
+        vals = jnp.asarray(vals_np, dtype=dtype)
+    else:
+        cols_np = np.zeros((n_regions, n, J), dtype=np.int32)
+        vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
+        for r in range(n_regions):
+            rng = np.random.Generator(np.random.Philox(key=[seed, r]))
+            c, m = _ell_from_perms(rng, n, k, J)
+            cols_np[r] = c
+            vals_np[r] = rng.uniform(size=(n, J)) * m
+        cols = jnp.asarray(cols_np)
+        vals = jnp.asarray(vals_np, dtype=dtype)
     lam = spectral_radius(vals, cols, jax.random.fold_in(key, 7),
                           iters=radius_iters)
     vals = vals / lam[:, None, None] * radius[:, None, None]
@@ -203,10 +238,32 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
 # dynamics
 # ----------------------------------------------------------------------
 
+def make_onehots(cols: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(J, n, n) one-hot matrices for the MXU spmv path (shared cols (n, J))."""
+    c = np.asarray(cols)
+    J = c.shape[1]
+    oh = np.zeros((J, n, n), dtype=np.float32)
+    rows = np.arange(n)
+    for j in range(J):
+        oh[j, rows, c[:, j]] = 1.0
+    return jnp.asarray(oh, dtype=dtype)
+
+
+def ell_spmv_onehot(vals: jnp.ndarray, onehots: jnp.ndarray, x: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """y = A x via per-slot one-hot matmuls. vals (R, n, J), x (R, n)."""
+    # g (J, R, n): g[j] = x @ onehot_j^T  (gathered columns, MXU matmul)
+    g = jnp.einsum("rm,jnm->jrn", x, onehots)
+    return jnp.einsum("rnj,jrn->rn", vals, g)
+
+
 def esn_step(res: BatchedReservoir, x: jnp.ndarray, u: jnp.ndarray,
              leakage: float = 1.0) -> jnp.ndarray:
     """x' = (1-l) x + l tanh(A x + Win u); x (R, n), u (R, I)."""
-    y = ell_spmv(res.vals, res.cols, x)
+    if res.onehots is not None:
+        y = ell_spmv_onehot(res.vals, res.onehots, x)
+    else:
+        y = ell_spmv(res.vals, res.cols, x)
     y = y + res.win_apply(u)
     xt = jnp.tanh(y)
     if leakage == 1.0:

@@ -86,9 +86,10 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
                                 skip_wout=True)
                  for i, cls in enumerate(layout.classes)]
     out = []
+    accel = jax.default_backend() != "cpu"
     for i, p in enumerate(packs):
-        res = jax.device_put(p.res) if jax.default_backend() != "cpu" else p.res
-        std = jax.device_put(p.std) if jax.default_backend() != "cpu" else p.std
+        res = jax.device_put(p.res) if accel else p.res
+        std = jax.device_put(p.std) if accel else p.std
         Rc, O = p.cls.count, p.res.n_outputs
         xc, yc = p.cls.core_shape
         # speedy vec = output minus precip block; absent in ml_only readout
@@ -97,5 +98,11 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
         wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 1000 + i),
                                         (Rc, O, S + n), dtype=gcm.dtype)
         res = dataclasses.replace(res, wout=wout)
+        if accel:
+            # MXU spmv path: XLA/TPU gathers are slow scalar loops
+            from speedy_ml_tpu.esn.reservoir import make_onehots
+            res = dataclasses.replace(
+                res, onehots=jax.device_put(make_onehots(p.res.cols, n,
+                                                         gcm.dtype)))
         out.append(ClassPack(cls=p.cls, res=res, hyper=p.hyper, std=std))
     return HybridAtmosphere(gcm, layout, out, ml_only=ml_only)

@@ -113,9 +113,13 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     n = vals.shape[1]
     O = target.shape[2]
     S = 0 if z_model is None else z_model.shape[2]
+    onehots = None
+    if jax.default_backend() != "cpu" and cols.ndim == 2:
+        from speedy_ml_tpu.esn.reservoir import make_onehots
+        onehots = make_onehots(cols, n, dtype)
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I,
                            wout=jnp.zeros((Rc, O, S + n), dtype=dtype),
-                           mean=std.in_mean, std=std.in_std)
+                           mean=std.in_mean, std=std.in_std, onehots=onehots)
 
     L = T - n_discard
     batch_size = find_closest_divisor(max(1, L // n_batches), L)

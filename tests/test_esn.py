@@ -24,6 +24,8 @@ def ell_to_dense(vals, cols):
     dense = np.zeros((R, n, n))
     v = np.asarray(vals)
     c = np.asarray(cols)
+    if c.ndim == 2:   # shared pattern
+        c = np.broadcast_to(c, (R, n, J))
     for r in range(R):
         for i in range(n):
             for j in range(J):
@@ -34,13 +36,16 @@ def ell_to_dense(vals, cols):
 def test_ell_spmv_matches_dense():
     key = jax.random.PRNGKey(0)
     hyper = ESNHyper(m=120, deg=6)
-    cols, vals, win = generate(key, 3, 12, hyper, radius=0.9,
-                               dtype=jnp.float64, radius_iters=300)
-    dense = ell_to_dense(vals, cols)
-    x = np.random.default_rng(0).standard_normal((3, vals.shape[1]))
-    y = np.asarray(ell_spmv(vals, cols, jnp.asarray(x)))
-    y_dense = np.einsum("rij,rj->ri", dense, x)
-    np.testing.assert_allclose(y, y_dense, rtol=1e-12)
+    for shared in (True, False):
+        cols, vals, win = generate(key, 3, 12, hyper, radius=0.9,
+                                   dtype=jnp.float64, radius_iters=300,
+                                   shared_pattern=shared)
+        assert cols.ndim == (2 if shared else 3)
+        dense = ell_to_dense(vals, cols)
+        x = np.random.default_rng(0).standard_normal((3, vals.shape[1]))
+        y = np.asarray(ell_spmv(vals, cols, jnp.asarray(x)))
+        y_dense = np.einsum("rij,rj->ri", dense, x)
+        np.testing.assert_allclose(y, y_dense, rtol=1e-12)
 
 
 def test_spectral_radius_scaled():
