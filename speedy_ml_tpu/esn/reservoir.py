@@ -76,10 +76,13 @@ class BatchedReservoir:
         return self.wout.shape[2] - self.win_vals.shape[1]
 
     def win_apply(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Win @ u for the block-diagonal Win. u (R, I) -> (R, n)."""
+        """Win @ u for the block-diagonal Win. u (R, I) -> (R, n).
+
+        Row j couples input j // q, i.e. each input value repeats q times
+        - a broadcast/reshape, NOT a gather (XLA/TPU gathers are slow)."""
         q = self.n // self.n_in
-        row_col = jnp.arange(self.n) // q
-        return self.win_vals * jnp.take(u, row_col, axis=1)
+        u_exp = jnp.repeat(u, q, axis=1, total_repeat_length=self.n)
+        return self.win_vals * u_exp
 
 
 @dataclasses.dataclass(frozen=True)

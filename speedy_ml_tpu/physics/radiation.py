@@ -36,8 +36,25 @@ def build_fband() -> np.ndarray:
 
 
 def _fband_lookup(fband_tab, ta: jnp.ndarray, jb: int) -> jnp.ndarray:
-    idx = jnp.clip(jnp.round(ta).astype(jnp.int32), 100, 400) - 100
-    return jnp.asarray(fband_tab)[:, jb][idx]
+    """LW band fraction at round(T).
+
+    The reference tabulates piecewise quadratics over integer T
+    (radset, phy_radiat.f90:677-691); evaluating the quadratics at
+    round(T) reproduces the table EXACTLY without a gather (XLA/TPU
+    gathers lower to scalar loops - this is in the per-step hot path,
+    ~70 lookups x 4608 points per radlw call)."""
+    tc = jnp.clip(jnp.round(ta), 200.0, 320.0)   # constant outside [200,320]
+    eps1 = 1.0 - pc.EPSLW
+    f2 = (0.148 - 3.0e-6 * (tc - 247.0) ** 2) * eps1
+    if jb == 1:
+        return f2
+    f3 = (0.356 - 5.2e-6 * (tc - 282.0) ** 2) * eps1
+    if jb == 2:
+        return f3
+    f4 = (0.314 + 1.0e-5 * (tc - 315.0) ** 2) * eps1
+    if jb == 3:
+        return f4
+    return eps1 - (f2 + f3 + f4)
 
 
 class SolarForcing(NamedTuple):
