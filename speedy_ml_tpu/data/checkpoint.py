@@ -111,6 +111,31 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
 
 
 # ----------------------------------------------------------------------
+# GCM restart (family 2 of the reference's checkpoints: ppo_restart.f90)
+# ----------------------------------------------------------------------
+
+def save_gcm_restart(gstate, path: str):
+    """Spectral + surface + radiation state to one npz (restart write)."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(gstate)
+    np.savez_compressed(path, n_leaves=len(leaves),
+                        **{f"leaf_{i}": np.asarray(l)
+                           for i, l in enumerate(leaves)})
+
+
+def load_gcm_restart(path: str, template):
+    """Restore a GCMState saved by save_gcm_restart; `template` provides
+    the pytree structure (e.g. a freshly built init_state)."""
+    import jax
+    z = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    n = int(z["n_leaves"])
+    assert n == len(leaves), "restart structure mismatch"
+    new_leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+# ----------------------------------------------------------------------
 # reference weight import (Zenodo artifact)
 # ----------------------------------------------------------------------
 

@@ -243,6 +243,24 @@ class HybridAtmosphere:
             new_x.append(x)
         return new_x, outvecs
 
+    def predict_components(self, packs, hstate: HybridState):
+        """Per-class SPEEDY (v_p) and ML (v_ml) readout contributions
+        (outvec_component_contribs, predict at mod_reservoir.f90:1456-1467;
+        output streams v_p/v_ml of mpires.f90:1114-1514).
+
+        Returns list of (v_p, v_ml) standardized pairs per class."""
+        from speedy_ml_tpu.esn.reservoir import quad_expand
+        out = []
+        for p, cs in zip(packs, hstate.classes):
+            x = esn_step(p.res, cs.x, cs.feedback, p.hyper.leakage)
+            xt = quad_expand(x)
+            S = p.res.n_speedy
+            v_p = jnp.einsum("roa,ra->ro", p.res.wout[:, :, :S],
+                             cs.local_model) if S else None
+            v_ml = jnp.einsum("roa,ra->ro", p.res.wout[:, :, S:], xt)
+            out.append((v_p, v_ml))
+        return out
+
     def assemble_global(self, packs, outvecs):
         """Scatter region outputs into global grids + clamps
         (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478)."""
