@@ -257,15 +257,28 @@ class DycoreModel:
         """
         sht, g, c = self.sht, self.geom, self.const
         vor_s, div_s, t_s, ps_s, tr_s = state.at_level(j2)
+        K, R = g.nlev, g.ntracers
 
-        # spectral -> grid, batched over levels
-        vorg = sht.spec_to_grid(vor_s)
-        divg = sht.spec_to_grid(div_s)
-        tg = sht.spec_to_grid(t_s)
-        trg = sht.spec_to_grid(tr_s)          # (R, K, lat, lon)
+        # ONE batched inverse transform for every needed field: stacking
+        # [vor, div, t, tracers, ucos, vcos, d(ps)/dx, d(ps)/dy] keeps the
+        # small T30 matrices busy in a single set of MXU einsums instead
+        # of 8 separate kernel launches.
         ucosm, vcosm = sht.uvspec(vor_s, div_s)
-        ug = sht.spec_to_grid(ucosm, kcos=2)
-        vg = sht.spec_to_grid(vcosm, kcos=2)
+        pxs, pys = sht.grad(ps_s)
+        stacked = jnp.concatenate([
+            vor_s, div_s, t_s, tr_s.reshape(R * K, g.mx, g.nx),
+            ucosm, vcosm, pxs[None], pys[None]], axis=0)
+        gall = sht.spec_to_grid(stacked)
+        cosf = self.sht.cosgr[:, None]
+        vorg = gall[0:K]
+        divg = gall[K:2 * K]
+        tg = gall[2 * K:3 * K]
+        trg = gall[3 * K:(3 + R) * K].reshape(R, K, g.nlat, g.nlon)
+        o = (3 + R) * K
+        ug = gall[o:o + K] * cosf          # kcos=2 fields: scale by 1/cos
+        vg = gall[o + K:o + 2 * K] * cosf
+        px = gall[o + 2 * K] * cosf
+        py = gall[o + 2 * K + 1] * cosf
 
         vorg_abs = vorg + self.coriol[:, None]
 
@@ -274,10 +287,7 @@ class DycoreModel:
         vmean = jnp.sum(vg * dhs_c, axis=0)
         dmean = jnp.sum(divg * dhs_c, axis=0)
 
-        # log-ps gradient and tendency
-        pxs, pys = sht.grad(ps_s)
-        px = sht.spec_to_grid(pxs, kcos=2)
-        py = sht.spec_to_grid(pys, kcos=2)
+        # log-ps tendency
         psdt = sht.grid_to_spec(-umean * px - vmean * py)
         psdt = psdt.at[0, 0].set(0.0)
 
@@ -334,20 +344,36 @@ class DycoreModel:
 
     def to_spectral_tendencies(self, utend, vtend, ttend, trtend,
                                grid_fields) -> tuple:
-        """Convert grid tendencies to spectral (dyn_grtend.f90:233-278)."""
+        """Convert grid tendencies to spectral (dyn_grtend.f90:233-278).
+
+        All forward transforms are fused: one vdspec over the stacked
+        (u,v)-pairs [momentum; T-advection; tracer advection] and one
+        grid_to_spec over [KE; ttend; trtend]."""
         sht = self.sht
+        g = self.geom
+        K, R = g.nlev, g.ntracers
         ug, vg = grid_fields["ug"], grid_fields["vg"]
         tgg, trg = grid_fields["tgg"], grid_fields["trg"]
 
-        vordt, divdt = sht.vdspec(utend, vtend, kcos=2)
+        u_stack = jnp.concatenate(
+            [utend, -ug * tgg, (-ug[None] * trg).reshape(R * K, *ug.shape[1:])],
+            axis=0)
+        v_stack = jnp.concatenate(
+            [vtend, -vg * tgg, (-vg[None] * trg).reshape(R * K, *vg.shape[1:])],
+            axis=0)
+        vor_all, div_all = sht.vdspec(u_stack, v_stack, kcos=2)
+        vordt = vor_all[:K]
+        divdt = div_all[:K]
+        tdt_adv = div_all[K:2 * K]
+        trdt_adv = div_all[2 * K:].reshape(R, K, g.mx, g.nx)
+
         ke = 0.5 * (ug * ug + vg * vg)
-        divdt = divdt - sht.lap(sht.grid_to_spec(ke))
-
-        _, tdt_adv = sht.vdspec(-ug * tgg, -vg * tgg, kcos=2)
-        tdt = tdt_adv + sht.grid_to_spec(ttend)
-
-        _, trdt_adv = sht.vdspec(-ug * trg, -vg * trg, kcos=2)
-        trdt = trdt_adv + sht.grid_to_spec(trtend)
+        s_stack = jnp.concatenate(
+            [ke, ttend, trtend.reshape(R * K, *ke.shape[1:])], axis=0)
+        spec_all = sht.grid_to_spec(s_stack)
+        divdt = divdt - sht.lap(spec_all[:K])
+        tdt = tdt_adv + spec_all[K:2 * K]
+        trdt = trdt_adv + spec_all[2 * K:].reshape(R, K, g.mx, g.nx)
         return vordt, divdt, tdt, trdt
 
     def sptend(self, state: SpectralState, j4: int, imp: ImplicitCoeffs,

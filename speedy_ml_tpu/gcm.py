@@ -118,17 +118,25 @@ class GCM:
 
     def _physics_fn(self, state: SpectralState, j: int, dyn: DycoreModel,
                     sfc, forcing, carry, lradsw):
-        """Adapter: spectral state -> grid fields -> PhysicsModel.compute."""
+        """Adapter: spectral state -> grid fields -> PhysicsModel.compute.
+
+        One fused inverse transform over all needed fields."""
         sht = self.sht
+        g = self.geom
+        K = g.nlev
         vor_s, div_s, t_s, ps_s, tr_s = state.at_level(j)
         ucosm, vcosm = sht.uvspec(vor_s, div_s)
-        ug = sht.spec_to_grid(ucosm, kcos=2)
-        vg = sht.spec_to_grid(vcosm, kcos=2)
-        tg = sht.spec_to_grid(t_s)
-        qg = sht.spec_to_grid(tr_s[0])
         phi_s = dyn.geopotential(t_s, self.phis)
-        phig = sht.spec_to_grid(phi_s)
-        pslg = sht.spec_to_grid(ps_s)
+        stacked = jnp.concatenate(
+            [t_s, tr_s[0], phi_s, ucosm, vcosm, ps_s[None]], axis=0)
+        gall = sht.spec_to_grid(stacked)
+        cosf = sht.cosgr[:, None]
+        tg = gall[0:K]
+        qg = gall[K:2 * K]
+        phig = gall[2 * K:3 * K]
+        ug = gall[3 * K:4 * K] * cosf
+        vg = gall[4 * K:5 * K] * cosf
+        pslg = gall[5 * K]
 
         ut, vt, tt, qt, carry2, diag = self.phys.compute(
             ug, vg, tg, qg, phig, pslg, bd=self.bd, sfc=sfc,
