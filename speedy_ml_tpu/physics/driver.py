@@ -38,13 +38,15 @@ class RadiationCarry:
     ssrd: jnp.ndarray      # (lat, lon) sfc downward SW
     ssr: jnp.ndarray       # net sfc SW
     tsr: jnp.ndarray       # net TOA SW
+    randfv: jnp.ndarray    # (2, lat, K) RDF vertical modulation (mod_randfor)
 
     @staticmethod
     def zeros(K, nlat, nlon, dtype):
         z = lambda *s: jnp.zeros(s, dtype=dtype)
         return RadiationCarry(tau2=z(K, 4, nlat, nlon), stratc=z(2, nlat, nlon),
                               tt_rsw=z(K, nlat, nlon), ssrd=z(nlat, nlon),
-                              ssr=z(nlat, nlon), tsr=z(nlat, nlon))
+                              ssr=z(nlat, nlon), tsr=z(nlat, nlon),
+                              randfv=z(2, nlat, K))
 
 
 @jax.tree_util.register_dataclass
@@ -78,10 +80,14 @@ class FluxDiag(NamedTuple):
 class PhysicsModel:
     """Static tables + the phypar-equivalent step function."""
 
-    def __init__(self, geom, constants, dtype=jnp.float32):
+    def __init__(self, geom, constants, dtype=jnp.float32, randfh=None):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
+        # random diabatic forcing horizontal patterns (2, nlat, nlon) or
+        # None = RDF disabled (the reference default: nstrdf=0)
+        self.randfh = None if randfh is None else np.asarray(randfh,
+                                                             dtype=self.dtype)
 
         hsg = np.asarray(geom.half_sigma, dtype=np.float64)
         sig = 0.5 * (hsg[1:] + hsg[:-1])
@@ -201,7 +207,8 @@ class PhysicsModel:
                 sig=sig, dsig=dsig)
             tt_rsw = dfabs_sw * rps[None] * grdscp[:, None, None]
             return RadiationCarry(tau2=tau2, stratc=stratc, tt_rsw=tt_rsw,
-                                  ssrd=ssrd, ssr=ssr, tsr=tsr)
+                                  ssrd=ssrd, ssr=ssr, tsr=tsr,
+                                  randfv=carry.randfv)
 
         carry = jax.lax.cond(lradsw, do_sw, lambda _: carry, operand=None)
 
@@ -241,6 +248,19 @@ class PhysicsModel:
         vtend = vt_pbl
         ttend = ttend + tt_pbl
         qtend = qtend + qt_pbl
+
+        # --- random diabatic forcing (phy_phypar.f90:202-215) ---
+        if self.randfh is not None:
+            from speedy_ml_tpu.physics.randfor import setrdf, xs_rdf
+
+            def do_xs(_):
+                return jnp.stack([xs_rdf(tt_lsc, tt_cnv, sig, 0),
+                                  xs_rdf(carry.tt_rsw, tt_rlw, sig, 1)])
+
+            randfv = jax.lax.cond(lradsw, do_xs, lambda _: carry.randfv,
+                                  operand=None)
+            carry = dataclasses.replace(carry, randfv=randfv)
+            ttend = ttend + setrdf(jnp.asarray(self.randfh), randfv)
 
         # --- fluxes for the coupler (difice as in ppo_dmflux.f90:114-118) ---
         esbc = pc.EMISFC * c.sbc

@@ -124,3 +124,58 @@ def test_full_physics_tendencies_finite(phys):
     # OLR should be positive everywhere and bounded by ~400 W/m2
     assert float(diag.olr.min()) > 50.0
     assert float(diag.olr.max()) < 400.0
+
+
+def test_random_diabatic_forcing():
+    """RDF patterns: T18-truncated, ~ampl RMS, and setrdf combines them
+    (ini_inirdf.f90 + phy_phypar.f90:289-313)."""
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    from speedy_ml_tpu.physics.randfor import init_randfh, setrdf, xs_rdf
+
+    sht = SpectralTransform(GEOM, dtype=jnp.float64)
+    randfh = init_randfh(7, GEOM, sht, ampl=0.5, ntrfor=18)
+    assert randfh.shape == (2, GEOM.nlat, GEOM.nlon)
+    # spectrally truncated at T18: re-transform has no content above l=18
+    spec = np.asarray(sht.grid_to_spec(jnp.asarray(randfh, dtype=jnp.float64)))
+    high = np.abs(spec[:, sht.ll > 18])
+    assert high.max() < 1e-6   # f32 storage roundoff only
+    # RMS amplitude within a factor ~2 of ampl (smoothing reduces it)
+    rms = np.sqrt((randfh ** 2).mean())
+    assert 0.1 < rms < 1.0
+
+    K = GEOM.nlev
+    tt1 = jnp.asarray(np.random.default_rng(0).normal(
+        size=(K, GEOM.nlat, GEOM.nlon)))
+    tt2 = jnp.zeros_like(tt1)
+    v0 = xs_rdf(tt1, tt2, np.asarray(GEOM.full_sigma), 0)
+    v1 = xs_rdf(tt1, tt2, np.asarray(GEOM.full_sigma), 1)
+    assert v0.shape == (GEOM.nlat, K)
+    randfv = jnp.stack([v0, v1])
+    tt_rdf = setrdf(jnp.asarray(randfh, dtype=jnp.float64), randfv)
+    assert tt_rdf.shape == (K, GEOM.nlat, GEOM.nlon)
+    expected = (np.asarray(randfh)[0, :, :] * np.asarray(v0)[:, 0][:, None]
+                ).T[None][0]  # k=0 slice check via direct formula
+    np.testing.assert_allclose(
+        np.asarray(tt_rdf)[0],
+        np.asarray(randfh)[0] * np.asarray(v0)[:, 0][:, None]
+        + np.asarray(randfh)[1] * np.asarray(v1)[:, 0][:, None], rtol=1e-12)
+
+
+def test_rdf_in_physics_driver():
+    """PhysicsModel with randfh produces finite tendencies and updates randfv."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    from speedy_ml_tpu.data.calendar import ModelDate
+    from speedy_ml_tpu.gcm import GCM
+    from speedy_ml_tpu.physics.randfor import init_randfh
+
+    gcm = GCM(dtype=jnp.float64)
+    gcm.phys.randfh = init_randfh(3, GEOM, gcm.sht)
+    date = ModelDate(1990, 7, 1)
+    state, forcing = gcm.init_state(date)
+    tend, (carry, diag) = gcm._physics_fn(
+        state.spectral, 0, gcm.dyn, state.sfc, forcing, state.radiation,
+        jnp.asarray(True))
+    assert bool(jnp.isfinite(tend.t).all())
+    assert float(jnp.abs(carry.randfv).max()) > 0.0
