@@ -47,9 +47,17 @@ def main():
     tyear = jnp.asarray(0.05, jnp.float32)
     log("bench: state initialized; compiling cycle")
 
-    # compile + warmup
+    # compile + warmup; sync via host readback (block_until_ready does not
+    # synchronize on tunneled backends).  Warm up CHAINED: XLA picks
+    # different layouts for the cycle's outputs than fresh arrays have, so
+    # the first output->input call compiles a second program variant.
+    sync = lambda s: float(jnp.abs(s.classes[0].x).sum())
     hstate2, _ = hyb.cycle(hstate, imon, fmon, tyear)
-    jax.block_until_ready(hstate2.classes[0].x)
+    sync(hstate2)
+    log("bench: compiled (fresh); warming chained variant")
+    hstate3, _ = hyb.cycle(hstate2, imon, fmon, tyear)
+    sync(hstate3)
+    hstate = hstate2
     log("bench: compiled; timing")
 
     n_cycles = int(os.environ.get("BENCH_CYCLES", "20"))
@@ -57,7 +65,7 @@ def main():
     cur = hstate
     for _ in range(n_cycles):
         cur, _ = hyb.cycle(cur, imon, fmon, tyear)
-    jax.block_until_ready(cur.classes[0].x)
+    sync(cur)
     elapsed = time.time() - t0
 
     sim_seconds = n_cycles * 6 * 3600.0

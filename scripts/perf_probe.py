@@ -38,27 +38,34 @@ def main():
     for m in (1000, 6000):
         hyper = ESNHyper(m=m)
         with jax.default_device(jax.devices("cpu")[0]):
-            cols, vals, win = generate(jax.random.PRNGKey(0), R, I, hyper,
-                                       0.7, dtype=jnp.float32, radius_iters=3)
-        n = vals.shape[1]
-        oh = make_onehots(cols, n)
+            cols, vals, win, shifts = generate(
+                jax.random.PRNGKey(0), R, I, hyper, 0.7, dtype=jnp.float32,
+                radius_iters=3)
+        n = vals.shape[2]
         S = 132
+        dev = jax.devices()[0]
         res = BatchedReservoir(
-            cols=jax.device_put(cols), vals=jax.device_put(vals),
-            win_vals=jax.device_put(win), n_in=I,
+            cols=jax.device_put(cols, dev), vals=jax.device_put(vals, dev),
+            win_vals=jax.device_put(win, dev), n_in=I,
             wout=1e-3 * jax.random.normal(jax.random.PRNGKey(1),
                                           (R, 136, S + n), jnp.float32),
-            mean=jnp.zeros((R, I)), std=jnp.ones((R, I)),
-            onehots=jax.device_put(oh))
+            mean=jnp.zeros((R, I)), std=jnp.ones((R, I)), shifts=shifts)
         res_g = BatchedReservoir(cols=res.cols, vals=res.vals,
                                  win_vals=res.win_vals, n_in=I, wout=res.wout,
                                  mean=res.mean, std=res.std)
+        res_oh = BatchedReservoir(cols=res.cols, vals=res.vals,
+                                  win_vals=res.win_vals, n_in=I, wout=res.wout,
+                                  mean=res.mean, std=res.std,
+                                  onehots=jax.device_put(make_onehots(cols, n),
+                                                         dev))
         x = jax.random.normal(jax.random.PRNGKey(2), (R, n))
         u = jnp.ones((R, I))
         lm = jnp.ones((R, S))
         sj = jax.jit(lambda r, x, u: esn_step(r, x, u))
-        timeit(f"esn_step onehot m={m}", sj, res, x, u,
+        timeit(f"esn_step shift m={m}", sj, res, x, u,
                chain=lambda c, a: (res, c, u))
+        timeit(f"esn_step onehot m={m}", sj, res_oh, x, u,
+               chain=lambda c, a: (res_oh, c, u))
         timeit(f"esn_step gather m={m}", sj, res_g, x, u,
                chain=lambda c, a: (res_g, c, u))
         rj = jax.jit(lambda r, x, lm: readout(r, x, lm))

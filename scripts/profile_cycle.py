@@ -1,10 +1,8 @@
-"""Component-level timing of the hybrid cycle on the current device.
+"""Per-section timing of the hybrid cycle at production scale.
 
-Times (a) the ESN step + readout, (b) one SPEEDY 6-h window, (c) the full
-cycle, to locate the bottleneck.  Usage: python scripts/profile_cycle.py
-[BENCH_M=6000]
+Times (after compile): full cycle, ESN predict, assemble, inject,
+speedy_window, feedback build. Prints milliseconds per call.
 """
-
 import os
 import sys
 import time
@@ -21,71 +19,93 @@ from speedy_ml_tpu.hybrid.build import build_untrained_hybrid
 from __graft_entry__ import _boundary
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def timeit(fn, *args, reps=10, warmup=2):
+    # force a host readback: the axon backend's block_until_ready does
+    # not synchronize (abs() first: complex transfers are unimplemented)
+    sync = lambda o: float(jnp.abs(jax.tree_util.tree_leaves(o)[0]).sum())
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
-    for _ in range(n):
+    for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n
+    sync(out)
+    return (time.time() - t0) / reps * 1000.0
 
 
 def main():
-    print("devices:", jax.devices(), file=sys.stderr)
+    print("devices", jax.devices(), file=sys.stderr)
     geom = Geometry()
     sht = SpectralTransform(geom, dtype=jnp.float32)
     gcm = GCM(geom, dtype=jnp.float32, bd=_boundary(geom, sht))
     m = int(os.environ.get("BENCH_M", "6000"))
     hyb = build_untrained_hybrid(gcm, m=m, radius_iters=10)
-    print(f"classes: {len(hyb.packs)}", file=sys.stderr)
-    for p in hyb.packs:
-        print(f"  class Rc={p.cls.count} n={p.res.n} I={p.res.n_inputs} "
-              f"O={p.res.n_outputs} S={p.res.n_speedy} "
-              f"wout={p.res.wout.nbytes/1e9:.2f}GB "
-              f"onehots={'None' if p.res.onehots is None else p.res.onehots.nbytes/1e9}",
-              file=sys.stderr)
+    print("built, m =", m, file=sys.stderr)
 
     hstate = hyb.init_state(jnp.asarray(gcm.bd.sst12[0]))
     imon = jnp.asarray(0)
     fmon = jnp.asarray(0.5, jnp.float32)
     tyear = jnp.asarray(0.05, jnp.float32)
+    params = hyb.params
 
-    from speedy_ml_tpu.esn.reservoir import esn_step, readout
+    # full cycle
+    ms = timeit(lambda: hyb.cycle_with_params(params, hstate, imon, fmon, tyear))
+    print(f"full cycle:      {ms:9.2f} ms")
 
-    # (a) esn step alone
-    @jax.jit
-    def esn_only(xs, fbs):
-        return tuple(esn_step(p.res, x, fb, p.hyper.leakage)
-                     for p, x, fb in zip(hyb.packs, xs, fbs))
+    packs, opacks = hyb._with_params(params)
 
-    xs = tuple(cs.x for cs in hstate.classes)
-    fbs = tuple(cs.feedback for cs in hstate.classes)
-    t = timeit(esn_only, xs, fbs)
-    print(f"esn_step:        {t*1e3:8.2f} ms")
+    f_pred = jax.jit(lambda prm, hs: hyb.predict_all(hyb._with_params(prm)[0], hs))
+    ms = timeit(lambda: f_pred(params, hstate))
+    print(f"predict_all:     {ms:9.2f} ms")
 
-    # (b) readout alone
-    @jax.jit
-    def read_only(xs, lms):
-        return tuple(readout(p.res, x, lm)
-                     for p, x, lm in zip(hyb.packs, xs, lms))
+    new_x, outvecs = f_pred(params, hstate)
 
-    lms = tuple(cs.local_model for cs in hstate.classes)
-    t = timeit(read_only, xs, lms)
-    print(f"readout:         {t*1e3:8.2f} ms")
+    f_asm = jax.jit(lambda prm, ov: hyb.assemble_global(hyb._with_params(prm)[0], ov))
+    ms = timeit(lambda: f_asm(params, outvecs))
+    print(f"assemble_global: {ms:9.2f} ms")
+    atmo, logp, precip = f_asm(params, outvecs)
 
-    # (c) speedy window
-    from speedy_ml_tpu.dycore.init import rest_state
-    spec0, _ = rest_state(gcm.dyn, gcm.bd.orog)
-    t = timeit(lambda s: hyb.speedy_window(s, hstate.sst_grid, imon, fmon,
-                                           tyear), spec0, n=5)
-    print(f"speedy_window:   {t*1e3:8.2f} ms  (24 steps -> "
-          f"{t/24*1e3:.2f} ms/step)")
+    f_inj = jax.jit(lambda a, l: hyb.inject_to_speedy(a, l))
+    ms = timeit(lambda: f_inj(atmo, logp))
+    print(f"inject:          {ms:9.2f} ms")
+    spec, safe = f_inj(atmo, logp)
 
-    # (d) full cycle
-    t = timeit(lambda s: hyb.cycle(s, imon, fmon, tyear)[0], hstate, n=5)
-    print(f"full cycle:      {t*1e3:8.2f} ms")
+    ms = timeit(lambda: hyb.speedy_window(spec, hstate.sst_grid, imon, fmon, tyear))
+    print(f"speedy_window:   {ms:9.2f} ms")
+    fc_atmo, fc_logp = hyb.speedy_window(spec, hstate.sst_grid, imon, fmon, tyear)
+
+    f_fb = jax.jit(lambda prm, a, l, p, s, t: hyb.build_feedback(
+        hyb._with_params(prm)[0], a, l, p, s, t))
+    tisr = hyb.tisr_field(tyear)
+    ms = timeit(lambda: f_fb(params, atmo, logp, precip, hstate.sst_grid, tisr))
+    print(f"build_feedback:  {ms:9.2f} ms")
+
+    f_lm = jax.jit(lambda prm, a, l: hyb.build_local_model(
+        hyb._with_params(prm)[0], a, l))
+    ms = timeit(lambda: f_lm(params, fc_atmo, fc_logp))
+    print(f"build_local:     {ms:9.2f} ms")
+
+    # ESN subparts
+    p = packs[0]
+    cs = hstate.classes[0]
+    from speedy_ml_tpu.esn.reservoir import (esn_step, readout,
+                                             ell_spmv_onehot, ell_spmv,
+                                             ell_spmv_shift)
+    f_step = jax.jit(lambda r, x, u: esn_step(r, x, u, p.hyper.leakage))
+    ms = timeit(lambda: f_step(p.res, cs.x, cs.feedback))
+    print(f"  esn_step:      {ms:9.2f} ms")
+    if p.res.shifts is not None:
+        sh = p.res.shifts
+        f_sp = jax.jit(lambda v, x: ell_spmv_shift(v, sh, x))
+        ms = timeit(lambda: f_sp(p.res.vals, cs.x))
+        print(f"  spmv(shift):   {ms:9.2f} ms")
+    elif p.res.onehots is not None:
+        f_sp = jax.jit(lambda v, o, x: ell_spmv_onehot(v, o, x))
+        ms = timeit(lambda: f_sp(p.res.vals, p.res.onehots, cs.x))
+        print(f"  spmv(onehot):  {ms:9.2f} ms")
+    f_ro = jax.jit(lambda r, x, lm: readout(r, x, lm))
+    ms = timeit(lambda: f_ro(p.res, cs.x, cs.local_model))
+    print(f"  readout:       {ms:9.2f} ms")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,8 @@ def save_hybrid(hyb, path: str):
                                "out_mean", "out_std")})
         arrs["n_in"] = np.asarray(pk.res.n_in)
         arrs["region_ids"] = pk.cls.region_ids
+        if pk.res.shifts is not None:
+            arrs["shifts"] = np.asarray(pk.res.shifts, dtype=np.int64)
         np.savez_compressed(p / f"class_{i}.npz", **arrs)
         meta[f"hyper_{i}"] = dataclasses.asdict(pk.hyper)
     if hyb.ocean_packs:
@@ -46,6 +48,8 @@ def save_hybrid(hyb, path: str):
                     for k in ("cols", "vals", "win_vals", "wout", "mean", "std")}
             arrs["n_in"] = np.asarray(op.res.n_in)
             arrs["idx_map"] = op.idx_map
+            if op.res.shifts is not None:
+                arrs["shifts"] = np.asarray(op.res.shifts, dtype=np.int64)
             arrs["mean_sst"] = np.asarray(op.mean_sst)
             arrs["std_sst"] = np.asarray(op.std_sst)
             np.savez_compressed(p / f"ocean_{i}.npz", **arrs)
@@ -69,14 +73,18 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
         f = lambda k: jnp.asarray(z[k], dtype=dtype)
         fi = lambda k: jnp.asarray(z[k])
         cols = fi("res_cols")
+        shifts = (tuple(int(s) for s in z["shifts"])
+                  if "shifts" in z.files else None)
         onehots = None
-        if jax.default_backend() != "cpu" and cols.ndim == 2:
+        if (shifts is None and jax.default_backend() != "cpu"
+                and cols.ndim == 2):
             from speedy_ml_tpu.esn.reservoir import make_onehots
-            onehots = make_onehots(cols, z["res_vals"].shape[1], dtype)
+            onehots = make_onehots(cols, z["res_vals"].shape[2], dtype)
         res = BatchedReservoir(cols=cols, vals=f("res_vals"),
                                win_vals=f("res_win_vals"), wout=f("res_wout"),
                                mean=f("res_mean"), std=f("res_std"),
-                               n_in=int(z["n_in"]), onehots=onehots)
+                               n_in=int(z["n_in"]), onehots=onehots,
+                               shifts=shifts)
         std = Standardizer(comp_mean=f("std_comp_mean"),
                            comp_std=f("std_comp_std"),
                            in_mean=f("std_in_mean"), in_std=f("std_in_std"),
@@ -92,11 +100,14 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
         for i in range(meta["n_classes"]):
             z = np.load(p / f"ocean_{i}.npz")
             f = lambda k: jnp.asarray(z[k], dtype=dtype)
+            o_shifts = (tuple(int(s) for s in z["shifts"])
+                        if "shifts" in z.files else None)
             res = BatchedReservoir(cols=jnp.asarray(z["res_cols"]),
                                    vals=f("res_vals"),
                                    win_vals=f("res_win_vals"),
                                    wout=f("res_wout"), mean=f("res_mean"),
-                                   std=f("res_std"), n_in=int(z["n_in"]))
+                                   std=f("res_std"), n_in=int(z["n_in"]),
+                                   shifts=o_shifts)
             hyper = ESNHyper(**meta[f"ocean_hyper_{i}"])
             ocean_packs.append(OceanPack(
                 cls=layout.classes[i], res=res, hyper=hyper,

@@ -156,13 +156,46 @@ class RegionLayout:
     @staticmethod
     def gather_patches(field: jnp.ndarray, iy: np.ndarray, ix: np.ndarray
                        ) -> jnp.ndarray:
-        """field (..., lat, lon) -> (Rc, ..., yi, xi) patches."""
+        """field (..., lat, lon) -> (Rc, ..., yi, xi) patches (gather path;
+        kept as the oracle for class_patches and for irregular tilings)."""
         iyj = jnp.asarray(iy)   # (Rc, yi)
         ixj = jnp.asarray(ix)   # (Rc, xi)
         # advanced indexing broadcast: (Rc, yi, xi) index arrays
         patches = field[..., iyj[:, :, None], ixj[:, None, :]]
         # result (..., Rc, yi, xi) -> move Rc to front
         return jnp.moveaxis(patches, -3, 0)
+
+    def class_patches(self, cls: RegionClass, field: jnp.ndarray,
+                      core_only: bool = False) -> jnp.ndarray:
+        """Windowed patches via cyclic rolls + strided slices — no gathers.
+
+        field (..., lat, lon) -> (Rc, ..., yi, xi).  Exploits the regular
+        block tiling: window element (a, b) across ALL regions of a class
+        sits at one fixed global offset, so it is a single roll of the
+        field subsampled on the block lattice.  XLA/TPU lowers rolls and
+        strided slices to contiguous copies; the equivalent gather is a
+        scalar loop (~10x slower at T30 sizes)."""
+        iy = cls.iy_core if core_only else cls.iy_in
+        ix = cls.ix_core if core_only else cls.ix_in
+        yi, xi = iy.shape[1], ix.shape[1]
+        off_lo = int(iy[0, 0]) - int(cls.iy_core[0, 0])
+        xoff = 0 if core_only else -self.overlap
+        by = np.asarray(cls.iy_core[:, 0]) // self.yc
+        by_lo, by_hi = int(by.min()), int(by.max())
+        nby = by_hi - by_lo + 1
+        rows = []
+        for a in range(yi):
+            cols_l = []
+            for b in range(xi):
+                sh = (-(off_lo + a) - by_lo * self.yc, -(xoff + b))
+                rolled = jnp.roll(field, sh, axis=(-2, -1))
+                sub = rolled[..., 0:nby * self.yc:self.yc, ::self.xc]
+                cols_l.append(sub)                # (..., nby, nbx)
+            rows.append(jnp.stack(cols_l, axis=-1))
+        p = jnp.stack(rows, axis=-2)              # (..., nby, nbx, yi, xi)
+        # region order within a class is block_x-major, block_y-minor
+        p = jnp.moveaxis(p, (-3, -4), (0, 1))     # (nbx, nby, ..., yi, xi)
+        return p.reshape((p.shape[0] * p.shape[1],) + p.shape[2:])
 
     def pack_vector(self, cls: RegionClass, atmo: jnp.ndarray,
                     logp=None, precip=None, sst=None, tisr=None,
@@ -171,18 +204,14 @@ class RegionLayout:
 
         atmo: (V, K, lat, lon); 2-D fields (lat, lon).
         Returns (Rc, total). core_only packs the target/output layout."""
-        if core_only:
-            iy, ix = cls.iy_core, cls.ix_core
-        else:
-            iy, ix = cls.iy_in, cls.ix_in
         parts = []
-        ap = self.gather_patches(atmo, iy, ix)      # (Rc, V, K, y, x)
+        ap = self.class_patches(cls, atmo, core_only)   # (Rc, V, K, y, x)
         # Fortran order: var fastest, then x, then y, then z ->
         # transpose to (Rc, z, y, x, v) and C-flatten
         parts.append(jnp.transpose(ap, (0, 2, 3, 4, 1)).reshape(ap.shape[0], -1))
         for f in (logp, precip, sst, tisr):
             if f is not None:
-                p = self.gather_patches(f, iy, ix)  # (Rc, y, x)
+                p = self.class_patches(cls, f, core_only)   # (Rc, y, x)
                 # Fortran (x, y) column-major = x fastest -> C-flatten (y, x)
                 parts.append(p.reshape(p.shape[0], -1))
         return jnp.concatenate(parts, axis=1)
@@ -208,11 +237,21 @@ class RegionLayout:
 
     def scatter_core(self, cls: RegionClass, patches: jnp.ndarray,
                      field: jnp.ndarray) -> jnp.ndarray:
-        """Write core patches (Rc, ..., yc, xc) into the global field."""
-        iy = jnp.asarray(cls.iy_core)
-        ix = jnp.asarray(cls.ix_core)
-        src = jnp.moveaxis(patches, 0, -3)  # (..., Rc, yc, xc)
-        return field.at[..., iy[:, :, None], ix[:, None, :]].set(src)
+        """Write core patches (Rc, ..., yc, xc) into the global field.
+
+        A class's cores tile a contiguous latitude band over the full
+        longitude circle, so the scatter is a reshape + one static slice
+        update (no scatter op)."""
+        by = np.asarray(cls.iy_core[:, 0]) // self.yc
+        by_lo, by_hi = int(by.min()), int(by.max())
+        nby = by_hi - by_lo + 1
+        nbx = self.nx_blocks
+        yc, xc = self.yc, self.xc
+        p = patches.reshape((nbx, nby) + patches.shape[1:])
+        p = jnp.moveaxis(p, (0, 1), (-2, -4))   # (..., nby, yc, nbx, xc)
+        band = p.reshape(p.shape[:-4] + (nby * yc, nbx * xc))
+        lo = by_lo * yc
+        return field.at[..., lo:lo + nby * yc, :].set(band)
 
     def input_to_target(self, cls: RegionClass, vec: jnp.ndarray,
                         nvar: int, nz_in: int, nz_core: int, z_off: int, *,

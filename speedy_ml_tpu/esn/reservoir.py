@@ -35,7 +35,11 @@ class BatchedReservoir:
 
     Shapes (R regions, n nodes, J nnz/row, I inputs, O outputs, S speedy):
       cols: (R, n, J) int32   ELL column indices of A
-      vals: (R, n, J)         ELL values of A (scaled to spectral radius)
+      vals: (J, R, n)         ELL values of A (scaled to spectral radius).
+                              Slot-major: the TPU tiles the two minor dims
+                              into (sublane, lane) registers, so J must NOT
+                              be minor (J=6 would pad the lane dim 6->128,
+                              a 21x memory/bandwidth blowup)
       win_vals: (R, n)        input coupling values.  Win is block-diagonal
                               (the reference fills rows (i-1)q+1..iq of
                               column i, mod_reservoir.f90:270-278), so one
@@ -58,6 +62,12 @@ class BatchedReservoir:
     # slow scalar loops, so A x is reformulated as J one-hot matmuls:
     # y = sum_j vals[:, :, j] * (x @ onehot_j^T) - exact same matrix.
     onehots: jnp.ndarray | None = None
+    # shift topology (the TPU-native default): cols[i, j] = (i + s_j) mod n
+    # for J static shifts s_j.  A x = sum_j vals[:,:,j] * roll(x, -s_j) —
+    # pure contiguous VPU/HBM traffic, no gathers, no one-hot matrices.
+    # None -> use onehots/cols paths.
+    shifts: tuple | None = dataclasses.field(
+        metadata=dict(static=True), default=None)
 
     @property
     def n(self):
@@ -147,14 +157,13 @@ def _ell_from_perms(rng: np.random.Generator, n: int, k: int, J: int):
 
 
 def ell_spmv(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x for batched ELL A; x (R, n) -> (R, n).
+    """y = A x for batched ELL A; vals (J, R, n), x (R, n) -> (R, n).
 
     Two layouts:
-    - shared pattern (cols (n, J)): the TPU-native default.  All regions
-      share the sparsity graph (values independent per region), so the
-      gather x.T[cols] grabs CONTIGUOUS (R,)-rows — sequential HBM
-      traffic instead of 36M random scalar loads.  Orders of magnitude
-      faster on TPU than the per-region-graph path.
+    - shared pattern (cols (n, J)): all regions share the sparsity graph
+      (values independent per region), so the gather x.T[cols[:, j]]
+      grabs CONTIGUOUS (R,)-rows — sequential HBM traffic instead of
+      36M random scalar loads.
     - per-region pattern (cols (R, n, J)): needed for weights imported
       from the reference (independent graphs per worker); falls back to
       a batched random gather.
@@ -162,23 +171,42 @@ def ell_spmv(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
     if cols.ndim == 2:
         n, J = cols.shape
         xt = x.T                                # (n, R) region-minor
-        xg = xt[cols.reshape(-1)]               # (n*J, R) contiguous rows
-        xg = xg.reshape(n, J, -1)
-        return jnp.sum(vals.transpose(1, 2, 0) * xg, axis=1).T
-    gathered = jnp.take_along_axis(x[:, None, :], cols.reshape(x.shape[0], -1)[:, None, :],
-                                   axis=2).reshape(cols.shape)
-    return jnp.sum(vals * gathered, axis=-1)
+        y = None
+        for j in range(J):
+            g = xt[cols[:, j]].T                # (R, n)
+            y = vals[j] * g if y is None else y + vals[j] * g
+        return y
+    J = cols.shape[2]
+    y = None
+    for j in range(J):
+        g = jnp.take_along_axis(x, cols[:, :, j], axis=1)   # (R, n)
+        y = vals[j] * g if y is None else y + vals[j] * g
+    return y
 
 
-def spectral_radius(vals, cols, key, iters: int = 200) -> jnp.ndarray:
+def ell_spmv_shift(vals: jnp.ndarray, shifts: tuple, x: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """y = A x for shift-structured A: y[r,i] = sum_j vals[j,r,i] *
+    x[r, (i+s_j) mod n].  Each term is an elementwise multiply against a
+    cyclic roll of x — contiguous HBM reads, VPU only."""
+    y = vals[0] * jnp.roll(x, -int(shifts[0]), axis=1)
+    for j in range(1, len(shifts)):
+        y = y + vals[j] * jnp.roll(x, -int(shifts[j]), axis=1)
+    return y
+
+
+def spectral_radius(vals, cols, key, iters: int = 200,
+                    shifts: tuple | None = None) -> jnp.ndarray:
     """|lambda_max| of each region's A by batched power iteration."""
-    R, n, _ = vals.shape
+    _, R, n = vals.shape
     v = jax.random.normal(key, (R, n), dtype=vals.dtype)
     v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    spmv = ((lambda w: ell_spmv_shift(vals, shifts, w)) if shifts is not None
+            else (lambda w: ell_spmv(vals, cols, w)))
 
     def body(i, carry):
         v, lam = carry
-        w = ell_spmv(vals, cols, v)
+        w = spmv(v)
         lam = jnp.linalg.norm(w, axis=1)
         v = w / jnp.maximum(lam[:, None], 1e-30)
         return v, lam
@@ -189,15 +217,25 @@ def spectral_radius(vals, cols, key, iters: int = 200) -> jnp.ndarray:
 
 def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
              radius: np.ndarray | float, dtype=jnp.float32,
-             radius_iters: int = 200, shared_pattern: bool = True):
+             radius_iters: int = 200, shared_pattern: bool = True,
+             topology: str = "shift"):
     """Random A (ELL) + Win for all regions (gen_res + the Win fill of
     train_reservoir, mod_reservoir.f90:180-281).
 
     radius: per-region spectral radius (R,) or scalar.
-    shared_pattern: all regions share the sparsity graph (TPU-native
-    layout, see ell_spmv) with independent values; set False for the
-    reference's independent-graph-per-region behavior.
-    Returns (cols, vals, win); cols is (n, J) when shared."""
+    topology:
+      "shift"  (TPU-native default): cols[i,j] = (i + s_j) mod n for J
+               random distinct shifts s_j shared across regions; values
+               stay fully random per region.  The spmv then needs no
+               gathers at all (ell_spmv_shift).  This is a simple-cycle /
+               ring-ensemble reservoir (Rodan & Tino 2011), with the same
+               degree, density, and spectral-radius scaling as the
+               reference's random graphs.
+      "random": the reference's permutation-draw graph (makesparse,
+               mod_linalg.f90:180-218); shared_pattern selects one shared
+               graph vs independent graphs per region.
+    Returns (cols, vals, win, shifts); vals is slot-major (J, R, n);
+    shifts is a tuple for "shift" and None for "random"."""
     n = hyper.nodes(n_inputs)
     k = hyper.nnz(n)
     J = k // n + (1 if k % n else 0)
@@ -205,7 +243,26 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
 
     # host-side structure generation, seeded from the JAX key
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
-    if shared_pattern:
+    shifts = None
+    if topology == "shift":
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        shifts = tuple(int(s) for s in rng.choice(n, size=J, replace=False))
+        cols = jnp.asarray(
+            (np.arange(n)[:, None] + np.asarray(shifts)[None, :]) % n,
+            dtype=jnp.int32)
+        # keep nnz = k exactly: the last slot is only `leftover` rows deep
+        # (matches the reference's degree distribution {k//n, k//n+1})
+        leftover = k - (k // n) * n
+        mask = np.ones((n, J), dtype=np.float32)
+        if leftover:
+            off = rng.permutation(n)[leftover:]
+            mask[off, J - 1] = 0.0
+        vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
+        for r in range(n_regions):
+            rr = np.random.Generator(np.random.Philox(key=[seed, r]))
+            vals_np[r] = rr.uniform(size=(n, J)) * mask
+        vals = jnp.asarray(vals_np.transpose(2, 0, 1), dtype=dtype)
+    elif shared_pattern:
         rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
         c, m = _ell_from_perms(rng, n, k, J)
         cols = jnp.asarray(c)
@@ -213,7 +270,7 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
         for r in range(n_regions):
             rr = np.random.Generator(np.random.Philox(key=[seed, r]))
             vals_np[r] = rr.uniform(size=(n, J)) * m
-        vals = jnp.asarray(vals_np, dtype=dtype)
+        vals = jnp.asarray(vals_np.transpose(2, 0, 1), dtype=dtype)
     else:
         cols_np = np.zeros((n_regions, n, J), dtype=np.int32)
         vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
@@ -223,10 +280,10 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
             cols_np[r] = c
             vals_np[r] = rng.uniform(size=(n, J)) * m
         cols = jnp.asarray(cols_np)
-        vals = jnp.asarray(vals_np, dtype=dtype)
+        vals = jnp.asarray(vals_np.transpose(2, 0, 1), dtype=dtype)
     lam = spectral_radius(vals, cols, jax.random.fold_in(key, 7),
-                          iters=radius_iters)
-    vals = vals / lam[:, None, None] * radius[:, None, None]
+                          iters=radius_iters, shifts=shifts)
+    vals = vals / lam[None, :, None] * radius[None, :, None]
 
     # Win: block-diagonal, q = n/n_inputs rows per input, +-sigma uniform;
     # stored as one value per row (see BatchedReservoir.win_vals)
@@ -234,7 +291,7 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
     ip = jax.random.uniform(kw, (n_regions, n_inputs, n // n_inputs),
                             dtype=dtype, minval=-1.0, maxval=1.0) * hyper.sigma
     win_vals = ip.reshape(n_regions, n)
-    return cols, vals, win_vals
+    return cols, vals, win_vals, shifts
 
 
 # ----------------------------------------------------------------------
@@ -254,16 +311,18 @@ def make_onehots(cols: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
 
 def ell_spmv_onehot(vals: jnp.ndarray, onehots: jnp.ndarray, x: jnp.ndarray
                     ) -> jnp.ndarray:
-    """y = A x via per-slot one-hot matmuls. vals (R, n, J), x (R, n)."""
+    """y = A x via per-slot one-hot matmuls. vals (J, R, n), x (R, n)."""
     # g (J, R, n): g[j] = x @ onehot_j^T  (gathered columns, MXU matmul)
     g = jnp.einsum("rm,jnm->jrn", x, onehots)
-    return jnp.einsum("rnj,jrn->rn", vals, g)
+    return jnp.einsum("jrn,jrn->rn", vals, g)
 
 
 def esn_step(res: BatchedReservoir, x: jnp.ndarray, u: jnp.ndarray,
              leakage: float = 1.0) -> jnp.ndarray:
     """x' = (1-l) x + l tanh(A x + Win u); x (R, n), u (R, I)."""
-    if res.onehots is not None:
+    if res.shifts is not None:
+        y = ell_spmv_shift(res.vals, res.shifts, x)
+    elif res.onehots is not None:
         y = ell_spmv_onehot(res.vals, res.onehots, x)
     else:
         y = ell_spmv(res.vals, res.cols, x)

@@ -39,9 +39,9 @@ def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
     Rc = cls.count
     radius = radius_by_lat(layout.lat_start[cls.region_ids],
                            layout.lat_end[cls.region_ids])
-    cols, vals, win = generate(key, Rc, I, hyper, radius, dtype=dtype,
-                               radius_iters=radius_iters)
-    n = vals.shape[1]
+    cols, vals, win, shifts = generate(key, Rc, I, hyper, radius, dtype=dtype,
+                                       radius_iters=radius_iters)
+    n = vals.shape[2]
     if skip_wout:
         wout = jnp.zeros((Rc, O, 0), dtype=dtype)
     else:
@@ -65,7 +65,7 @@ def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
                        out_mean=mean_c[:, comp_out],
                        out_std=ones_c[:, comp_out])
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I, wout=wout,
-                           mean=std.in_mean, std=std.in_std)
+                           mean=std.in_mean, std=std.in_std, shifts=shifts)
     return ClassPack(cls=cls, res=res, hyper=hyper, std=std)
 
 
@@ -87,9 +87,13 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
                  for i, cls in enumerate(layout.classes)]
     out = []
     accel = jax.default_backend() != "cpu"
+    # device_put MUST name the target device: without it, arrays that
+    # already live on the CPU backend STAY there, and every jitted call
+    # re-streams them host->device (3 s/cycle on a tunneled chip)
+    dev = jax.devices()[0]
     for i, p in enumerate(packs):
-        res = jax.device_put(p.res) if accel else p.res
-        std = jax.device_put(p.std) if accel else p.std
+        res = jax.device_put(p.res, dev) if accel else p.res
+        std = jax.device_put(p.std, dev) if accel else p.std
         Rc, O = p.cls.count, p.res.n_outputs
         xc, yc = p.cls.core_shape
         # speedy vec = output minus precip block; absent in ml_only readout
@@ -98,11 +102,12 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
         wout = 1e-3 * jax.random.normal(jax.random.fold_in(key, 1000 + i),
                                         (Rc, O, S + n), dtype=gcm.dtype)
         res = dataclasses.replace(res, wout=wout)
-        if accel:
-            # MXU spmv path: XLA/TPU gathers are slow scalar loops
+        if accel and res.shifts is None and res.cols.ndim == 2:
+            # MXU spmv fallback for shared non-shift graphs (XLA/TPU
+            # gathers are slow scalar loops); shift reservoirs need none
             from speedy_ml_tpu.esn.reservoir import make_onehots
             res = dataclasses.replace(
                 res, onehots=jax.device_put(make_onehots(p.res.cols, n,
-                                                         gcm.dtype)))
+                                                         gcm.dtype), dev))
         out.append(ClassPack(cls=p.cls, res=res, hyper=p.hyper, std=std))
     return HybridAtmosphere(gcm, layout, out, ml_only=ml_only)

@@ -137,7 +137,7 @@ class HybridAtmosphere:
                 local_model=jnp.zeros((Rc, p.res.n_speedy), dtype=self.gcm.dtype)))
         return HybridState(classes=tuple(cls_states),
                            sst_grid=jnp.asarray(sst_grid),
-                           safe=jnp.asarray(True),
+                           safe=jnp.asarray(True, dtype=jnp.bool_),
                            step=jnp.asarray(0, dtype=jnp.int32),
                            ocean=self._init_ocean_states())
 
@@ -204,7 +204,7 @@ class HybridAtmosphere:
                     buffer=buf))
         return HybridState(classes=tuple(cls_states),
                            sst_grid=jnp.asarray(sst0),
-                           safe=jnp.asarray(True),
+                           safe=jnp.asarray(True, dtype=jnp.bool_),
                            step=jnp.asarray(0, dtype=jnp.int32),
                            ocean=tuple(ocean_states))
 
@@ -388,7 +388,7 @@ class HybridAtmosphere:
 
         if self.ml_only:
             fc_atmo = fc_logp = None
-            safe = jnp.asarray(True)
+            safe = jnp.asarray(True, dtype=jnp.bool_)
         else:
             spec, safe = self.inject_to_speedy(atmo, logp)
             fc_atmo, fc_logp = self.speedy_window(
@@ -414,10 +414,20 @@ class HybridAtmosphere:
                 o_in = fb[:, jnp.asarray(op.idx_map)]
                 buffer = jnp.concatenate([ocs.buffer[1:], o_in[None]], axis=0)
                 fb_mean = buffer.mean(axis=0)
-                x_new = esn_step(op.res, ocs.x, fb_mean, op.hyper.leakage)
-                out = readout(op.res, x_new)
-                out_phys = out * op.std_sst + op.mean_sst
-                x_keep = jnp.where(do_step, x_new, ocs.x)
+
+                # the slab ESN only advances every SLAB_STRIDE cycles;
+                # lax.cond skips its spmv/readout entirely in between
+                def _advance(x, op=op, fb_mean=fb_mean):
+                    x_new = esn_step(op.res, x, fb_mean, op.hyper.leakage)
+                    out = readout(op.res, x_new)
+                    return x_new, out * op.std_sst + op.mean_sst
+
+                def _hold(x, op=op):
+                    return x, jnp.zeros((op.cls.count, op.res.n_outputs),
+                                        dtype=self.gcm.dtype)
+
+                x_keep, out_phys = jax.lax.cond(do_step, _advance, _hold,
+                                                ocs.x)
                 ocean_states.append(OceanClassState(x=x_keep, buffer=buffer))
                 xc, yc = op.cls.core_shape
                 patches = out_phys.reshape(-1, yc, xc)

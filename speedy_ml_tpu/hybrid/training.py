@@ -109,17 +109,19 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     lat_s = layout.lat_start[cls.region_ids]
     lat_e = layout.lat_end[cls.region_ids]
     radius = radius_by_lat(lat_s, lat_e)
-    cols, vals, win = generate(key, Rc, I, hyper, radius, dtype=dtype)
-    n = vals.shape[1]
+    cols, vals, win, shifts = generate(key, Rc, I, hyper, radius, dtype=dtype)
+    n = vals.shape[2]
     O = target.shape[2]
     S = 0 if z_model is None else z_model.shape[2]
     onehots = None
-    if jax.default_backend() != "cpu" and cols.ndim == 2:
+    if (shifts is None and jax.default_backend() != "cpu"
+            and cols.ndim == 2):
         from speedy_ml_tpu.esn.reservoir import make_onehots
         onehots = make_onehots(cols, n, dtype)
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I,
                            wout=jnp.zeros((Rc, O, S + n), dtype=dtype),
-                           mean=std.in_mean, std=std.in_std, onehots=onehots)
+                           mean=std.in_mean, std=std.in_std, onehots=onehots,
+                           shifts=shifts)
 
     L = T - n_discard
     batch_size = find_closest_divisor(max(1, L // n_batches), L)
@@ -176,13 +178,14 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
 
     radius = np.full(Rc, 0.9)  # initialize_slab_ocean_model:31
     I_o = o_series.shape[2]
-    cols, vals, win = generate(key, Rc, I_o, hyper, radius, dtype=dtype)
-    n = vals.shape[1]
+    cols, vals, win, shifts = generate(key, Rc, I_o, hyper, radius, dtype=dtype)
+    n = vals.shape[2]
     O = target.shape[2]
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I_o,
                            wout=jnp.zeros((Rc, O, n), dtype=dtype),
                            mean=jnp.zeros((Rc, I_o), dtype=dtype),
-                           std=jnp.ones((Rc, I_o), dtype=dtype))
+                           std=jnp.ones((Rc, I_o), dtype=dtype),
+                           shifts=shifts)
 
     L = T_slab - n_discard
     batch_size = max(1, L - 1)    # single batch (train_slab_ocean_model:1331)

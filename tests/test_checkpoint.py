@@ -44,7 +44,8 @@ def test_coo_to_ell():
     vals = np.array([2.0, 5.0, 7.0])
     ell_cols, ell_vals = coo_to_ell(rows, cols, vals, 3)
     x = np.array([1.0, 2.0, 3.0])
-    y = np.asarray(ell_spmv(jnp.asarray(ell_vals[None]),
+    # vals are slot-major (J, R, n)
+    y = np.asarray(ell_spmv(jnp.asarray(ell_vals.T[:, None, :]),
                             jnp.asarray(ell_cols[None]),
                             jnp.asarray(x[None])))[0]
     np.testing.assert_allclose(y, [2 * 1 + 5 * 3, 0.0, 7 * 2])

@@ -125,6 +125,22 @@ def test_scatter_gather_core_roundtrip(layout):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(field))
 
 
+def test_class_patches_matches_gather(layout):
+    """The roll-based class_patches equals the index-gather oracle, for
+    window and core patches, 2-D and 4-D fields, every class."""
+    rng = np.random.default_rng(7)
+    f2 = jnp.asarray(rng.standard_normal((GEOM.nlat, GEOM.nlon)))
+    f4 = jnp.asarray(rng.standard_normal((4, 8, GEOM.nlat, GEOM.nlon)))
+    for cls in layout.classes:
+        for core in (False, True):
+            iy = cls.iy_core if core else cls.iy_in
+            ix = cls.ix_core if core else cls.ix_in
+            for f in (f2, f4):
+                want = np.asarray(layout.gather_patches(f, iy, ix))
+                got = np.asarray(layout.class_patches(cls, f, core))
+                np.testing.assert_array_equal(got, want)
+
+
 def test_pack_unpack_roundtrip(layout):
     rng = np.random.default_rng(1)
     V, K = 4, 8

@@ -11,8 +11,8 @@ import numpy as np
 import pytest
 
 from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper,
-                                         ell_spmv, esn_step, generate,
-                                         quad_expand, readout,
+                                         ell_spmv, ell_spmv_shift, esn_step,
+                                         generate, quad_expand, readout,
                                          spectral_radius, synchronize)
 from speedy_ml_tpu.esn.train import (accumulate_batches, discard_transient,
                                      find_closest_divisor, solve_wout,
@@ -20,7 +20,7 @@ from speedy_ml_tpu.esn.train import (accumulate_batches, discard_transient,
 
 
 def ell_to_dense(vals, cols):
-    R, n, J = vals.shape
+    J, R, n = vals.shape   # slot-major layout
     dense = np.zeros((R, n, n))
     v = np.asarray(vals)
     c = np.asarray(cols)
@@ -29,7 +29,7 @@ def ell_to_dense(vals, cols):
     for r in range(R):
         for i in range(n):
             for j in range(J):
-                dense[r, i, c[r, i, j]] += v[r, i, j]
+                dense[r, i, c[r, i, j]] += v[j, r, i]
     return dense
 
 
@@ -37,23 +37,46 @@ def test_ell_spmv_matches_dense():
     key = jax.random.PRNGKey(0)
     hyper = ESNHyper(m=120, deg=6)
     for shared in (True, False):
-        cols, vals, win = generate(key, 3, 12, hyper, radius=0.9,
-                                   dtype=jnp.float64, radius_iters=300,
-                                   shared_pattern=shared)
+        cols, vals, win, shifts = generate(key, 3, 12, hyper, radius=0.9,
+                                           dtype=jnp.float64,
+                                           radius_iters=300,
+                                           shared_pattern=shared,
+                                           topology="random")
+        assert shifts is None
         assert cols.ndim == (2 if shared else 3)
         dense = ell_to_dense(vals, cols)
-        x = np.random.default_rng(0).standard_normal((3, vals.shape[1]))
+        x = np.random.default_rng(0).standard_normal((3, vals.shape[2]))
         y = np.asarray(ell_spmv(vals, cols, jnp.asarray(x)))
         y_dense = np.einsum("rij,rj->ri", dense, x)
         np.testing.assert_allclose(y, y_dense, rtol=1e-12)
+
+
+def test_shift_spmv_matches_dense():
+    """The roll-based shift spmv is the same matrix as the cols gather."""
+    key = jax.random.PRNGKey(3)
+    hyper = ESNHyper(m=120, deg=6)
+    cols, vals, win, shifts = generate(key, 3, 12, hyper, radius=0.9,
+                                       dtype=jnp.float64, radius_iters=300)
+    assert shifts is not None and cols.ndim == 2
+    n = vals.shape[2]
+    # cols really is (i + s_j) mod n
+    expect = (np.arange(n)[:, None] + np.asarray(shifts)[None, :]) % n
+    np.testing.assert_array_equal(np.asarray(cols), expect)
+    x = np.random.default_rng(0).standard_normal((3, n))
+    y_shift = np.asarray(ell_spmv_shift(vals, shifts, jnp.asarray(x)))
+    y_gather = np.asarray(ell_spmv(vals, cols, jnp.asarray(x)))
+    dense = ell_to_dense(vals, cols)
+    y_dense = np.einsum("rij,rj->ri", dense, x)
+    np.testing.assert_allclose(y_shift, y_dense, rtol=1e-12)
+    np.testing.assert_allclose(y_shift, y_gather, rtol=1e-12)
 
 
 def test_spectral_radius_scaled():
     key = jax.random.PRNGKey(1)
     hyper = ESNHyper(m=120, deg=6)
     radius = np.array([0.5, 0.9])
-    cols, vals, win = generate(key, 2, 12, hyper, radius=radius,
-                               dtype=jnp.float64, radius_iters=500)
+    cols, vals, win, _ = generate(key, 2, 12, hyper, radius=radius,
+                                  dtype=jnp.float64, radius_iters=500)
     dense = ell_to_dense(vals, cols)
     for r in range(2):
         eigs = np.abs(np.linalg.eigvals(dense[r])).max()
@@ -64,8 +87,9 @@ def test_sparsity_structure():
     """Row degrees must be near-uniform (permutation draws, makesparse)."""
     key = jax.random.PRNGKey(2)
     hyper = ESNHyper(m=600, deg=6)
-    cols, vals, _ = generate(key, 1, 60, hyper, radius=0.9, dtype=jnp.float64)
-    n = vals.shape[1]
+    cols, vals, _, _ = generate(key, 1, 60, hyper, radius=0.9,
+                                dtype=jnp.float64)
+    n = vals.shape[2]
     k_target = hyper.nnz(n)
     nnz = int((np.asarray(vals) != 0).sum())
     # mask collisions can drop a few entries; within 2%
@@ -106,13 +130,15 @@ def test_lorenz63_prediction():
     hyper = ESNHyper(m=600, deg=6, sigma=0.5, beta_res=1e-4, noise_mag=0.0,
                      using_prior=False)
     key = jax.random.PRNGKey(42)
-    cols, vals, win = generate(key, R, 3, hyper, radius=0.9, dtype=jnp.float64)
-    n = vals.shape[1]
+    cols, vals, win, shifts = generate(key, R, 3, hyper, radius=0.9,
+                                       dtype=jnp.float64)
+    n = vals.shape[2]
 
     series = jnp.asarray(np.broadcast_to(z[:, None, :], (len(z), R, 3)))
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=3,
                            wout=jnp.zeros((R, 3, n)),
-                           mean=jnp.zeros((R, 3)), std=jnp.ones((R, 3)))
+                           mean=jnp.zeros((R, 3)), std=jnp.ones((R, 3)),
+                           shifts=shifts)
 
     n_discard = 100
     x0 = discard_transient(res, hyper, series[:n_discard])
@@ -123,7 +149,7 @@ def test_lorenz63_prediction():
                                batch_size=1000)
     wout = solve_wout(eq, hyper, n_speedy=0)
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=3, wout=wout,
-                           mean=res.mean, std=res.std)
+                           mean=res.mean, std=res.std, shifts=shifts)
 
     # synchronize on held-out segment then free-run: after absorbing input
     # 4499 the readout predicts index 4500
