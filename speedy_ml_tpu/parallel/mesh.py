@@ -45,12 +45,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_reservoir(res, mesh: Mesh):
-    """Place a BatchedReservoir with its region axis sharded."""
+def shard_reservoir(res, mesh: Mesh, axis: str = "regions"):
+    """Place a BatchedReservoir with its region axis sharded.
+
+    vals is slot-major (J, R, n) -> region axis is axis 1; a shared
+    sparsity pattern (cols (n, J)) is replicated, a per-region pattern
+    (cols (R, n, J)) shards its leading axis."""
     import dataclasses
-    put = lambda a: jax.device_put(a, region_sharding(mesh, a.ndim))
+    put = lambda a: jax.device_put(a, region_sharding(mesh, a.ndim, axis))
+    cols = (jax.device_put(res.cols, replicated(mesh)) if res.cols.ndim == 2
+            else put(res.cols))
+    vals = jax.device_put(
+        res.vals, NamedSharding(mesh, P(None, axis, None)))
     return dataclasses.replace(
-        res, cols=put(res.cols), vals=put(res.vals), win_vals=put(res.win_vals),
+        res, cols=cols, vals=vals, win_vals=put(res.win_vals),
         wout=put(res.wout), mean=put(res.mean), std=put(res.std))
 
 
