@@ -63,6 +63,10 @@ class RunConfig:
     sst_bias: float = 0.0
     train_on_sst_anomalies: bool = False
     seed: int = 33                     # init_random_marker(33)
+    sppt_on: bool = False              # mod_tsteps.f90:68
+    # reservoir graph family: "shift" (TPU-native ring ensemble) or
+    # "random" (the reference's makesparse permutation graphs)
+    topology: str = "shift"
 
     def save(self, path: str):
         d = dataclasses.asdict(self)
@@ -86,7 +90,8 @@ class RunConfig:
         import jax.numpy as jnp
         from speedy_ml_tpu.gcm import GCM
         return GCM(self.geometry(), dtype=jnp.dtype(self.dtype),
-                   bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd)
+                   bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd,
+                   sppt_on=self.sppt_on)
 
     def build_layout(self):
         from speedy_ml_tpu.esn.domain import RegionLayout

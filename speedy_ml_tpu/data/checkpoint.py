@@ -24,11 +24,18 @@ from speedy_ml_tpu.esn.reservoir import BatchedReservoir, ESNHyper
 from speedy_ml_tpu.esn.standardize import Standardizer
 
 
+# Checkpoint format history:
+#   (unversioned) round-1 early: res_vals row-major (R, n, J), no 'shifts'
+#   2: res_vals slot-major (J, R, n); optional 'shifts' key (shift topology)
+FORMAT_VERSION = 2
+
+
 def save_hybrid(hyb, path: str):
     """Save all class packs (+ ocean) of a HybridAtmosphere to `path`/ ."""
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
-    meta = {"n_classes": len(hyb.packs), "ml_only": hyb.ml_only,
+    meta = {"format_version": FORMAT_VERSION, "vals_layout": "slot_major",
+            "n_classes": len(hyb.packs), "ml_only": hyb.ml_only,
             "has_ocean": hyb.ocean_packs is not None}
     for i, pk in enumerate(hyb.packs):
         arrs = {f"res_{k}": np.asarray(getattr(pk.res, k))
@@ -67,12 +74,26 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
                                             OceanPack)
     p = Path(path)
     meta = json.loads((p / "meta.json").read_text())
+    ver = meta.get("format_version", 1)
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint at {path} has format_version {ver}; this build "
+            f"reads version {FORMAT_VERSION} (res_vals slot-major (J, R, n)). "
+            "Re-save the checkpoint with the matching build.")
     packs = []
     for i in range(meta["n_classes"]):
         z = np.load(p / f"class_{i}.npz")
         f = lambda k: jnp.asarray(z[k], dtype=dtype)
         fi = lambda k: jnp.asarray(z[k])
         cols = fi("res_cols")
+        # layout sanity: slot-major vals (J, R, n) must agree with
+        # win_vals (R, n) on both trailing dims
+        if (z["res_vals"].shape[1:] != z["res_win_vals"].shape
+                or (z["res_vals"].shape[0] > z["res_vals"].shape[2])):
+            raise ValueError(
+                f"class_{i}: res_vals shape {z['res_vals'].shape} is not "
+                f"slot-major (J, R, n) consistent with win_vals "
+                f"{z['res_win_vals'].shape}")
         shifts = (tuple(int(s) for s in z["shifts"])
                   if "shifts" in z.files else None)
         onehots = None

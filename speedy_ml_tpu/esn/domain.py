@@ -241,11 +241,26 @@ class RegionLayout:
 
         A class's cores tile a contiguous latitude band over the full
         longitude circle, so the scatter is a reshape + one static slice
-        update (no scatter op)."""
+        update (no scatter op).  The regularity assumption (regions ordered
+        block_x-major / block_y-minor, contiguous full band) is asserted on
+        the static index tables — an irregular class raises instead of
+        silently corrupting the field."""
         by = np.asarray(cls.iy_core[:, 0]) // self.yc
         by_lo, by_hi = int(by.min()), int(by.max())
         nby = by_hi - by_lo + 1
         nbx = self.nx_blocks
+        if nbx * nby != cls.count:
+            raise ValueError(
+                f"scatter_core: class {cls.name} has {cls.count} regions, "
+                f"not a full {nbx}x{nby} longitude band")
+        exp_bx = np.repeat(np.arange(nbx), nby)
+        exp_by = np.tile(np.arange(by_lo, by_hi + 1), nbx)
+        if (np.any(np.asarray(cls.ix_core[:, 0]) != exp_bx * self.xc)
+                or np.any(np.asarray(cls.iy_core[:, 0]) != exp_by * self.yc)):
+            raise ValueError(
+                f"scatter_core: class {cls.name} region order is not "
+                "block_x-major/block_y-minor contiguous; use gather_patches "
+                "based scatter for irregular tilings")
         yc, xc = self.yc, self.xc
         p = patches.reshape((nbx, nby) + patches.shape[1:])
         p = jnp.moveaxis(p, (0, 1), (-2, -4))   # (..., nby, yc, nbx, xc)

@@ -241,11 +241,15 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
     J = k // n + (1 if k % n else 0)
     radius = jnp.broadcast_to(jnp.asarray(radius, dtype=dtype), (n_regions,))
 
-    # host-side structure generation, seeded from the JAX key
+    # host-side structure generation, seeded from the JAX key.  The
+    # structure generator draws from key [seed, n_regions] — disjoint from
+    # the per-region VALUE keys [seed, 0..n_regions-1] — so the topology
+    # never reuses region 0's random stream.
     seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    struct_key = [seed, n_regions]
     shifts = None
     if topology == "shift":
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        rng = np.random.Generator(np.random.Philox(key=struct_key))
         shifts = tuple(int(s) for s in rng.choice(n, size=J, replace=False))
         cols = jnp.asarray(
             (np.arange(n)[:, None] + np.asarray(shifts)[None, :]) % n,
@@ -263,7 +267,7 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
             vals_np[r] = rr.uniform(size=(n, J)) * mask
         vals = jnp.asarray(vals_np.transpose(2, 0, 1), dtype=dtype)
     elif shared_pattern:
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+        rng = np.random.Generator(np.random.Philox(key=struct_key))
         c, m = _ell_from_perms(rng, n, k, J)
         cols = jnp.asarray(c)
         vals_np = np.zeros((n_regions, n, J), dtype=np.float64)

@@ -67,13 +67,18 @@ class GCMState:
     radiation: RadiationCarry
     fluxes: FluxAccumulator
     istep: jnp.ndarray     # global step counter (for the nstrad cadence)
+    # SPPT stochastic-physics state (None when sppt is off, the default —
+    # sppt_on=.false., mod_tsteps.f90:68)
+    sppt_spec: Optional[jnp.ndarray] = None   # (K, mx, nx) complex AR(1)
+    sppt_key: Optional[jnp.ndarray] = None    # jax.random key
 
 
 class GCM:
     def __init__(self, geom: Geometry = Geometry(),
                  constants: PhysicalConstants = PhysicalConstants(),
                  dtype=jnp.float32, bc_path: Optional[str] = None,
-                 nsteps_day: int = 96, bd: Optional[BoundaryData] = None):
+                 nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
+                 sppt_on: bool = False):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
@@ -81,6 +86,11 @@ class GCM:
                                nsteps_day=nsteps_day)
         self.sht = self.dyn.sht
         self.phys = PhysicsModel(geom, constants, dtype=dtype)
+        if sppt_on:
+            from speedy_ml_tpu.physics.sppt import SPPT
+            self.sppt = SPPT(self.sht, geom.nlev, nsteps_day)
+        else:
+            self.sppt = None
         self.bd = bd if bd is not None else load_boundary_data(
             geom, self.sht, constants.grav, bc_path)
         lat_deg = np.rad2deg(geom.lat_radians)
@@ -97,7 +107,8 @@ class GCM:
     def init_state(self, date: ModelDate,
                    spectral: Optional[SpectralState] = None,
                    sst_hybrid: Optional[jnp.ndarray] = None,
-                   sst_bias: float = 0.0) -> tuple[GCMState, DailyForcing]:
+                   sst_bias: float = 0.0,
+                   sppt_seed: int = 0) -> tuple[GCMState, DailyForcing]:
         """agcm_init equivalent: surface + radiation init for `date`."""
         g = self.geom
         imon = jnp.asarray(date.month - 1)
@@ -106,18 +117,23 @@ class GCM:
         if spectral is None:
             from speedy_ml_tpu.dycore.init import rest_state
             spectral, _ = rest_state(self.dyn, self.bd.orog)
+        sppt_spec = sppt_key = None
+        if self.sppt is not None:
+            sppt_key, sub = jax.random.split(jax.random.PRNGKey(sppt_seed))
+            sppt_spec = self.sppt.init_state(sub)
         state = GCMState(
             spectral=spectral, sfc=sfc,
             radiation=RadiationCarry.zeros(g.nlev, g.nlat, g.nlon, self.dtype),
             fluxes=FluxAccumulator.zeros(g.nlat, g.nlon, self.dtype),
-            istep=jnp.asarray(0, dtype=jnp.int32))
+            istep=jnp.asarray(0, dtype=jnp.int32),
+            sppt_spec=sppt_spec, sppt_key=sppt_key)
         forcing = self.phys.daily_forcing(self.bd, sfc, date.tyear, self.sht)
         return state, forcing
 
     # ------------------------------------------------------------------
 
     def _physics_fn(self, state: SpectralState, j: int, dyn: DycoreModel,
-                    sfc, forcing, carry, lradsw):
+                    sfc, forcing, carry, lradsw, sppt_pattern=None):
         """Adapter: spectral state -> grid fields -> PhysicsModel.compute.
 
         One fused inverse transform over all needed fields."""
@@ -140,7 +156,8 @@ class GCM:
 
         ut, vt, tt, qt, carry2, diag = self.phys.compute(
             ug, vg, tg, qg, phig, pslg, bd=self.bd, sfc=sfc,
-            forcing=forcing, carry=carry, lradsw=lradsw)
+            forcing=forcing, carry=carry, lradsw=lradsw,
+            sppt_pattern=sppt_pattern)
         return GridTendencies(u=ut, v=vt, t=tt, tr=qt[None]), (carry2, diag)
 
     # ------------------------------------------------------------------
@@ -148,10 +165,20 @@ class GCM:
     def leapfrog(self, gstate: GCMState, forcing: DailyForcing) -> GCMState:
         """One filtered leapfrog step with physics (stloop body)."""
         lradsw = (gstate.istep % NSTRAD) == 0   # istep 0-based: mod(istep,3)==1 1-based
+        # SPPT runs only when the state carries AR(1) state: windows built
+        # without it (e.g. the hybrid's cold-start SPEEDY window) integrate
+        # deterministically even on an sppt_on GCM
+        sppt_spec, sppt_key, pattern = gstate.sppt_spec, gstate.sppt_key, None
+        if self.sppt is not None and gstate.sppt_key is not None:
+            sppt_key, sub = jax.random.split(gstate.sppt_key)
+            sppt_spec = self.sppt.step(gstate.sppt_spec, sub)
+            pattern = (self.sppt.grid_pattern(sppt_spec)
+                       * jnp.asarray(self.sppt.mu)[:, None, None])
         spec, aux = self.dyn.leapfrog_step(
             gstate.spectral, self.phis,
             physics_fn=self._physics_fn,
-            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw),
+            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw,
+                          pattern),
             corrections=(forcing.tcorh, forcing.qcorh))
         carry, diag = aux
         rsteps = 1.0 / self.nsteps_day
@@ -162,7 +189,8 @@ class GCM:
             hflux_i=fx.hflux_i + diag.hflux_i * rsteps,
             precip=fx.precip + (diag.precnv + diag.precls) * self.dyn.delt2 / 2.0)
         return GCMState(spectral=spec, sfc=gstate.sfc, radiation=carry,
-                        fluxes=fluxes, istep=gstate.istep + 1)
+                        fluxes=fluxes, istep=gstate.istep + 1,
+                        sppt_spec=sppt_spec, sppt_key=sppt_key)
 
     def stepone(self, gstate: GCMState, forcing: DailyForcing) -> GCMState:
         """Cold-start double half-step with physics (ini_stepone.f90)."""
@@ -170,11 +198,13 @@ class GCM:
         spec, aux = self.dyn.stepone(
             gstate.spectral, self.phis,
             physics_fn=self._physics_fn,
-            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw),
+            physics_args=(gstate.sfc, forcing, gstate.radiation, lradsw,
+                          None),
             corrections=(forcing.tcorh, forcing.qcorh))
         carry, _ = aux
         return GCMState(spectral=spec, sfc=gstate.sfc, radiation=carry,
-                        fluxes=gstate.fluxes, istep=gstate.istep)
+                        fluxes=gstate.fluxes, istep=gstate.istep,
+                        sppt_spec=gstate.sppt_spec, sppt_key=gstate.sppt_key)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def run_window(self, gstate: GCMState, forcing: DailyForcing,

@@ -22,7 +22,8 @@ NVAR = 4
 
 def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
                    dtype=jnp.float32, radius_iters: int = 30,
-                   skip_wout: bool = False) -> ClassPack:
+                   skip_wout: bool = False,
+                   topology: str = "shift") -> ClassPack:
     """Reservoirs with random Wout and unit standardization (benchmark use).
 
     skip_wout leaves a dummy (Rc, O, 0)-shaped Wout for the caller to fill
@@ -40,7 +41,8 @@ def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
     radius = radius_by_lat(layout.lat_start[cls.region_ids],
                            layout.lat_end[cls.region_ids])
     cols, vals, win, shifts = generate(key, Rc, I, hyper, radius, dtype=dtype,
-                                       radius_iters=radius_iters)
+                                       radius_iters=radius_iters,
+                                       topology=topology)
     n = vals.shape[2]
     if skip_wout:
         wout = jnp.zeros((Rc, O, 0), dtype=dtype)
@@ -71,7 +73,8 @@ def untrained_pack(layout: RegionLayout, cls, hyper: ESNHyper, key, nz: int,
 
 def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
                            key=None, ml_only: bool = False,
-                           radius_iters: int = 30) -> HybridAtmosphere:
+                           radius_iters: int = 30,
+                           topology: str = "shift") -> HybridAtmosphere:
     key = key if key is not None else jax.random.PRNGKey(0)
     layout = RegionLayout(gcm.geom, n_regions=n_regions, overlap=1)
     hyper = ESNHyper(m=m)
@@ -83,7 +86,7 @@ def build_untrained_hybrid(gcm, n_regions: int = 1152, m: int = 6000,
         packs = [untrained_pack(layout, cls, hyper,
                                 jax.random.fold_in(key, i), gcm.geom.nlev,
                                 dtype=gcm.dtype, radius_iters=radius_iters,
-                                skip_wout=True)
+                                skip_wout=True, topology=topology)
                  for i, cls in enumerate(layout.classes)]
     out = []
     accel = jax.default_backend() != "cpu"

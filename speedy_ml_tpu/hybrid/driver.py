@@ -76,19 +76,25 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
     dates = []
     params = hyb.params
     dt = hyb.gcm.dtype
+    # the gate is checked EVERY cycle with a one-step lag: bool(prev_safe)
+    # only blocks on the already-finished previous cycle, keeping host
+    # dispatch pipelined; the cycle itself holds SPEEDY in-graph the moment
+    # the gate trips, so the lagged step cannot poison state
+    # (parallelmain.f90:268-270 immediate-abort semantics).
+    prev_safe = None
     for i in range(n_cycles):
+        if stop_if_unsafe and prev_safe is not None and not bool(prev_safe):
+            print(f"prediction stopped: SPEEDY safety gate at cycle {i - 1}")
+            break
         hstate, diag = hyb.cycle_with_params(
             params, hstate, jnp.asarray(date.month - 1),
             jnp.asarray(date.tmonth, dtype=dt),
             jnp.asarray(date.tyear, dtype=dt))
+        prev_safe = hstate.safe
         dates.append(date)
         date = date.advance_hours(timestep_hours)
         if writer:
             writer.append(diag, hstate.sst_grid)
-        if stop_if_unsafe and i % 16 == 15:
-            if not bool(hstate.safe):
-                print(f"prediction stopped: SPEEDY safety gate at cycle {i}")
-                break
     if writer:
         writer.consolidate()
     return hstate, dates

@@ -391,8 +391,18 @@ class HybridAtmosphere:
             safe = jnp.asarray(True, dtype=jnp.bool_)
         else:
             spec, safe = self.inject_to_speedy(atmo, logp)
-            fc_atmo, fc_logp = self.speedy_window(
-                spec, hstate.sst_grid, imon, fmon, tyear)
+            # gate BEFORE running (ppo_iogrid.f90:563-577, mpires.f90:721):
+            # an unphysical state must never feed SPEEDY — the window is
+            # skipped in-graph and the smoothed injected fields stand in as
+            # the "forecast" so no NaN can poison subsequent state.  The
+            # driver aborts the run on the tripped flag.
+            ok = hstate.safe & safe
+            fc_atmo, fc_logp = jax.lax.cond(
+                ok,
+                lambda _: self.speedy_window(spec, hstate.sst_grid, imon,
+                                             fmon, tyear),
+                lambda _: (atmo, logp),
+                operand=None)
 
         tisr = self.tisr_field(tyear)
         feedbacks = self.build_feedback(packs, atmo, logp, precip,

@@ -87,7 +87,8 @@ def class_standardizer(layout: RegionLayout, cls, series: jnp.ndarray,
 def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
                 hyper: ESNHyper, key, nz: int, *,
                 n_discard: int = 10, n_batches: int = 20,
-                precip_eps: float = 0.001, dtype=jnp.float32) -> ClassPack:
+                precip_eps: float = 0.001, dtype=jnp.float32,
+                topology: str = "shift") -> ClassPack:
     """Train all reservoirs of one class (train_reservoir equivalent)."""
     series = pack_class_series(layout, cls, truth, precip_eps).astype(dtype)
     T, Rc, I = series.shape
@@ -109,7 +110,8 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     lat_s = layout.lat_start[cls.region_ids]
     lat_e = layout.lat_end[cls.region_ids]
     radius = radius_by_lat(lat_s, lat_e)
-    cols, vals, win, shifts = generate(key, Rc, I, hyper, radius, dtype=dtype)
+    cols, vals, win, shifts = generate(key, Rc, I, hyper, radius, dtype=dtype,
+                                       topology=topology)
     n = vals.shape[2]
     O = target.shape[2]
     S = 0 if z_model is None else z_model.shape[2]
@@ -151,7 +153,8 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
 def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
                       nz: int, *, slab_stride: int = 28,
                       n_discard: int = 2, dtype=jnp.float32,
-                      truth: dict = None, precip_eps: float = 0.001):
+                      truth: dict = None, precip_eps: float = 0.001,
+                      topology: str = "shift"):
     """Train the slab-ocean reservoirs of one class
     (train_slab_ocean_model / get_training_data_from_atmo,
     mod_slab_ocean_reservoir.f90:173-376).
@@ -178,7 +181,8 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
 
     radius = np.full(Rc, 0.9)  # initialize_slab_ocean_model:31
     I_o = o_series.shape[2]
-    cols, vals, win, shifts = generate(key, Rc, I_o, hyper, radius, dtype=dtype)
+    cols, vals, win, shifts = generate(key, Rc, I_o, hyper, radius, dtype=dtype,
+                                       topology=topology)
     n = vals.shape[2]
     O = target.shape[2]
     res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I_o,
@@ -224,7 +228,8 @@ def train_hybrid(gcm, layout: RegionLayout, truth: dict,
             ocean_packs.append(train_ocean_class(
                 layout, cls, p, ocean_hyper,
                 jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
-                truth=truth, dtype=kw.get("dtype", jnp.float32)))
+                truth=truth, dtype=kw.get("dtype", jnp.float32),
+                topology=kw.get("topology", "shift")))
         # land points of the ML SST grid get the training-period mean SST
         # (base_sst_grid, initialize_prediction:845-885); mask: land where
         # the boundary land fraction exceeds the sea threshold

@@ -157,12 +157,16 @@ class PhysicsModel:
 
     def compute(self, ug, vg, tg, qg, phig, pslg, *, bd: BoundaryData,
                 sfc: SurfaceState, forcing: DailyForcing,
-                carry: RadiationCarry, lradsw):
+                carry: RadiationCarry, lradsw, sppt_pattern=None):
         """Physics tendencies from grid-point fields at the physics time level.
 
         All inputs (K, lat, lon) except pslg (lat, lon); lradsw is a traced
-        bool (shortwave every nstrad steps).  Returns
-        (utend, vtend, ttend, qtend, carry', FluxDiag)."""
+        bool (shortwave every nstrad steps).  sppt_pattern, if given, is the
+        mu-tapered grid SPPT pattern (K, lat, lon) applied multiplicatively
+        to the physics tendencies (phy_phypar.f90:218-228 — there the
+        perturbation acts on tend - tend_dyn; these tendencies ARE the
+        physics-only part, the dynamics part is added later in the dycore).
+        Returns (utend, vtend, ttend, qtend, carry', FluxDiag)."""
         c = self.const
         K = self.geom.nlev
         sig, dsig, sigh = self.sig, self.dsig, self.sigh
@@ -261,6 +265,14 @@ class PhysicsModel:
                                   operand=None)
             carry = dataclasses.replace(carry, randfv=randfv)
             ttend = ttend + setrdf(jnp.asarray(self.randfh), randfv)
+
+        # --- SPPT multiplicative noise on the physics tendencies ---
+        if sppt_pattern is not None:
+            fac = 1.0 + sppt_pattern
+            utend = fac * utend
+            vtend = fac * vtend
+            ttend = fac * ttend
+            qtend = fac * qtend
 
         # --- fluxes for the coupler (difice as in ppo_dmflux.f90:114-118) ---
         esbc = pc.EMISFC * c.sbc

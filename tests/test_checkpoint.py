@@ -37,6 +37,25 @@ def test_save_load_roundtrip(tmp_path):
                                       np.asarray(p2.std.in_mean))
 
 
+def test_checkpoint_format_version_rejected(tmp_path):
+    """Old/unversioned checkpoints must be rejected, not misread."""
+    import json
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    sht = SpectralTransform(GEOM, dtype=jnp.float32)
+    gcm = GCM(GEOM, PhysicalConstants(), dtype=jnp.float32,
+              bd=synthetic_boundary_data(GEOM, sht))
+    hyb = build_untrained_hybrid(gcm, n_regions=128, m=300, radius_iters=5)
+    save_hybrid(hyb, tmp_path / "ckpt")
+    meta_path = tmp_path / "ckpt" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    assert meta["format_version"] == 2
+    del meta["format_version"]   # simulate a pre-versioning checkpoint
+    meta_path.write_text(json.dumps(meta))
+    layout = RegionLayout(GEOM, n_regions=128, overlap=1)
+    with pytest.raises(ValueError, match="format_version"):
+        load_hybrid(gcm, layout, tmp_path / "ckpt", dtype=jnp.float32)
+
+
 def test_coo_to_ell():
     # 3x3 matrix with entries (1,1)=2, (1,3)=5, (3,2)=7 (1-based COO)
     rows = np.array([1, 1, 3])

@@ -107,3 +107,37 @@ def test_hybrid_end_to_end(setup):
     # produces O(10 K) errors or NaN immediately.
     assert errs_hyb[0] < 2.5, f"hybrid {errs_hyb} vs speedy {errs_speedy}"
     assert errs_hyb[-1] < 4.0
+
+
+def test_safety_gate_holds_speedy_and_stops_driver(setup):
+    """An unphysical assembled state must (a) set safe=False, (b) skip
+    SPEEDY in-graph (no NaN poisoning), and (c) abort run_prediction
+    promptly (ppo_iogrid.f90:563-577, parallelmain.f90:268-270)."""
+    from speedy_ml_tpu.hybrid.build import build_untrained_hybrid
+    from speedy_ml_tpu.hybrid.driver import run_prediction
+
+    gcm, layout = setup
+    hyb = build_untrained_hybrid(gcm, n_regions=128, m=600, radius_iters=5)
+    # blow up the readouts -> assembled T/u/v far outside the gate bounds
+    hyb.packs = [p._replace(res=dataclasses.replace(p.res,
+                                                    wout=p.res.wout * 1e7))
+                 for p in hyb.packs]
+    sst0 = gcm.bd.sst12[0]
+    hstate = hyb.init_state(sst0)
+    hstate = dataclasses.replace(
+        hstate, classes=tuple(dataclasses.replace(
+            cs, feedback=jnp.ones_like(cs.feedback))
+            for cs in hstate.classes))
+
+    hstate2, diag = hyb.cycle(hstate, jnp.asarray(0),
+                              jnp.asarray(0.5, gcm.dtype),
+                              jnp.asarray(0.05, gcm.dtype))
+    assert not bool(hstate2.safe), "gate should trip on unphysical state"
+    # SPEEDY was held: the forecast fields are the (finite) injected grids
+    assert bool(jnp.isfinite(diag["speedy_atmo"]).all())
+    assert bool(jnp.isfinite(hstate2.sst_grid).all())
+
+    # the driver checks the (lagged) gate every cycle -> stops by cycle 2
+    hstate3, dates = run_prediction(hyb, hstate, ModelDate(1990, 1, 1),
+                                    n_cycles=8)
+    assert len(dates) <= 2, f"driver ran {len(dates)} cycles past the gate"

@@ -179,3 +179,33 @@ def test_rdf_in_physics_driver():
         jnp.asarray(True))
     assert bool(jnp.isfinite(tend.t).all())
     assert float(jnp.abs(carry.randfv).max()) > 0.0
+
+
+def test_sppt_in_gcm_step():
+    """SPPT (sppt_on=True) perturbs the physics tendencies multiplicatively
+    (phy_phypar.f90:218-228) with bounded effect and no NaN."""
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    from speedy_ml_tpu.data.calendar import ModelDate
+    from speedy_ml_tpu.gcm import GCM
+    from speedy_ml_tpu.physics.boundaries import synthetic_boundary_data
+
+    geom = Geometry(trunc=10, nlon=32, nlat=16, nlev=8)
+    sht = SpectralTransform(geom, dtype=jnp.float64)
+    bd = synthetic_boundary_data(geom, sht)
+    date = ModelDate(1990, 1, 1)
+
+    g_on = GCM(geom, CONST, dtype=jnp.float64, bd=bd, sppt_on=True)
+    g_off = GCM(geom, CONST, dtype=jnp.float64, bd=bd, sppt_on=False)
+    s_on, f_on = g_on.init_state(date)
+    s_off, f_off = g_off.init_state(date)
+    s_on = g_on.run_window(g_on.stepone(s_on, f_on), f_on, 4)
+    s_off = g_off.run_window(g_off.stepone(s_off, f_off), f_off, 4)
+    t_on = np.asarray(sht.spec_to_grid(s_on.spectral.t[0]))
+    t_off = np.asarray(sht.spec_to_grid(s_off.spectral.t[0]))
+    assert np.all(np.isfinite(t_on))
+    d = np.abs(t_on - t_off).max()
+    assert d > 0.0, "SPPT had no effect on the integration"
+    assert d < 5.0, f"SPPT effect implausibly large: {d} K after 4 steps"
+    # the AR(1) pattern state advanced and stayed bounded
+    assert s_on.sppt_spec is not None
+    assert float(jnp.abs(s_on.sppt_spec).max()) < 10.0
