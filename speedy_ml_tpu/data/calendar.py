@@ -79,6 +79,19 @@ def hours_into_year(date: ModelDate) -> int:
     return days * 24 + date.hour
 
 
+def hour_of_year_365(date: ModelDate) -> int:
+    """Hour index into a 365-day year in [0, 8760) for climatology-table
+    lookups (get_tisr_by_date, mpires.f90:1663-1671: leap-aware hours
+    wrapped back into the 365-day table)."""
+    return hours_into_year(date) % 8760
+
+
+def day_of_year_365(date: ModelDate) -> int:
+    """Day index in [0, 365) against the 365-day calendar
+    (get_sst_by_date, mpires.f90:1698-1707)."""
+    return min(CUM_365[date.month - 1] + date.day - 1, 364)
+
+
 def hour_delta(a: ModelDate, b: ModelDate) -> int:
     """Hours from a to b (b >= a), leap-aware."""
     total = 0

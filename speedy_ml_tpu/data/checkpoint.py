@@ -49,6 +49,8 @@ def save_hybrid(hyb, path: str):
             arrs["shifts"] = np.asarray(pk.res.shifts, dtype=np.int64)
         np.savez_compressed(p / f"class_{i}.npz", **arrs)
         meta[f"hyper_{i}"] = dataclasses.asdict(pk.hyper)
+        if pk.zspec is not None:
+            meta[f"zspec_{i}"] = list(pk.zspec)
     if hyb.ocean_packs:
         for i, op in enumerate(hyb.ocean_packs):
             arrs = {f"res_{k}": np.asarray(getattr(op.res, k))
@@ -112,8 +114,15 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
                            out_mean=f("std_out_mean"),
                            out_std=f("std_out_std"))
         hyper = ESNHyper(**meta[f"hyper_{i}"])
-        packs.append(ClassPack(cls=layout.classes[i], res=res, hyper=hyper,
-                               std=std))
+        zspec = None
+        if f"zspec_{i}" in meta:
+            from speedy_ml_tpu.esn.domain import VertSpec
+            zspec = VertSpec(*meta[f"zspec_{i}"])
+        # with vertical localization classes repeat per group in
+        # class-major/group-minor order
+        n_groups = max(1, meta["n_classes"] // len(layout.classes))
+        packs.append(ClassPack(cls=layout.classes[i // n_groups], res=res,
+                               hyper=hyper, std=std, zspec=zspec))
     ocean_packs = None
     base_sst = sea_mask = None
     if meta.get("has_ocean"):
@@ -172,19 +181,12 @@ def load_gcm_restart(path: str, template):
 # ----------------------------------------------------------------------
 
 def read_reference_worker(path: str) -> dict:
-    """Read one reference worker weight file (NetCDF4 via h5py).
-
-    Variables (mod_io.f90:2911-3009): win (n, I), wout (O, n+S),
-    rows/cols/vals (k,) COO of A, mean/std (components,).
-    NetCDF stores Fortran arrays transposed; this returns numpy arrays in
-    the (row-major) orientation documented above."""
-    import h5py
-    out = {}
-    with h5py.File(path, "r") as f:
-        for k in ("win", "wout", "rows", "cols", "vals", "mean", "std"):
-            if k in f:
-                out[k] = np.asarray(f[k])
-    return out
+    """Read one reference worker weight file — moved to
+    data.reference_import (which owns the full end-to-end assembly);
+    kept here as a re-export for round-1 callers."""
+    from speedy_ml_tpu.data.reference_import import \
+        read_reference_worker as _r
+    return _r(path)
 
 
 def coo_to_ell(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,

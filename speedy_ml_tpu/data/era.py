@@ -72,36 +72,89 @@ class ERA5Reader:
                 out[v] = np.asarray(arr)
         return out
 
+    def year_hours(self, year: int) -> int:
+        """Number of hour records in a year file (from the file itself)."""
+        import h5py
+        with h5py.File(self.year_path(year), "r") as f:
+            for cand in ("Temperature", "Temperature".replace("-", "_"), "t"):
+                if cand in f:
+                    return f[cand].shape[0]
+        raise KeyError(f"no temperature variable in {self.year_path(year)}")
+
+    def valid_hour_index(self, year: int) -> "np.ndarray":
+        """Hour indices of a year file with Feb 29 spliced OUT against the
+        365-day model calendar (speedy_res_interface.f90:588-596): leap
+        years drop hours [59*24, 60*24)."""
+        from speedy_ml_tpu.data.calendar import leap_year
+        n = self.year_hours(year)
+        if leap_year(year) and n >= 8784:
+            feb29 = 59 * 24
+            return np.concatenate([np.arange(feb29),
+                                   np.arange(feb29 + 24, n)])
+        return np.arange(min(n, 8760))
+
     def stream_samples(self, year0: int, n_hours: int, stride: int = 1,
                        variables: tuple = ("t", "u", "v", "q", "logp"),
                        chunk_hours: int = 24 * 30) -> Iterator[dict]:
-        """Yield chunks of samples across year files (read_era's year loop),
-        splicing Feb 29 out against the 365-day model calendar as the
-        reference does (speedy_res_interface.f90:588-596)."""
+        """Yield chunks of samples across year files (read_era's year
+        loop).  Feb 29 is spliced out of leap-year files so every model
+        year is exactly 8,760 hours (speedy_res_interface.f90:588-596);
+        `stride` subsamples the spliced series."""
         year = year0
         remaining = n_hours
-        offset = 0
+        offset = 0          # position within the SPLICED year
         while remaining > 0:
             path = self.year_path(year)
             if not path.exists():
                 raise FileNotFoundError(path)
-            take = min(remaining, chunk_hours)
-            data = self.read_year(year, variables,
-                                  hour_slice=slice(offset, offset + take))
-            got = next(iter(data.values())).shape[0]
-            if got == 0:
+            valid = self.valid_hour_index(year)[::stride]
+            if offset >= len(valid):
                 year += 1
                 offset = 0
                 continue
-            yield data
-            remaining -= got
-            offset += got
+            take = min(remaining, chunk_hours, len(valid) - offset)
+            idx = valid[offset:offset + take]
+            yield self.read_hours(year, idx, variables)
+            remaining -= take
+            offset += take
+
+    def read_hours(self, year: int, idx: np.ndarray,
+                   variables: tuple = ("t", "u", "v", "q", "logp")) -> dict:
+        """Read specific hour records of a year file.
+
+        Contiguous runs become single hyperslab reads (the Feb-29 splice
+        splits a chunk into at most two); general increasing index lists
+        use h5py fancy indexing."""
+        runs = []
+        start = prev = int(idx[0])
+        contiguous = True
+        for i in idx[1:]:
+            i = int(i)
+            if i == prev + 1:
+                prev = i
+                continue
+            runs.append((start, prev + 1))
+            start = prev = i
+        runs.append((start, prev + 1))
+        if len(runs) <= 4:
+            parts = [self.read_year(year, variables, hour_slice=slice(lo, hi))
+                     for lo, hi in runs]
+            return {k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+        data = self.read_year(year, variables,
+                              hour_slice=np.asarray(idx, dtype=np.int64))
+        return data
 
 
-def era_to_truth(era: dict, q_to_gkg: bool = True) -> dict:
+def era_to_truth(era: dict, q_to_gkg: bool = True,
+                 sst_climo: Optional[np.ndarray] = None,
+                 hour_of_year: Optional[np.ndarray] = None) -> dict:
     """Map raw ERA fields to the hybrid training `truth` dict convention.
 
-    Unit fixes as in get_training_data: q kg/kg -> g/kg."""
+    Unit fixes as in get_training_data: q kg/kg -> g/kg.  With sst_climo
+    (365, lat, lon) and per-sample hour_of_year given, SSTs become
+    anomalies against the daily climatology (train_on_sst_anomalies,
+    speedy_res_interface.f90:439-632)."""
     truth = {}
     q = era["q"] * (1000.0 if q_to_gkg else 1.0)
     truth["atmo"] = np.stack([era["t"], era["u"], era["v"], q], axis=1)
@@ -109,4 +162,9 @@ def era_to_truth(era: dict, q_to_gkg: bool = True) -> dict:
     for k in ("precip", "sst", "tisr"):
         if k in era:
             truth[k] = era[k]
+    if sst_climo is not None and "sst" in truth:
+        if hour_of_year is None:
+            raise ValueError("sst anomalies need per-sample hour_of_year")
+        day = (np.asarray(hour_of_year) // 24) % sst_climo.shape[0]
+        truth["sst"] = truth["sst"] - sst_climo[day]
     return truth

@@ -54,6 +54,58 @@ class RegionClass:
         return self.ix_in.shape[1], self.iy_in.shape[1]
 
 
+class VertSpec(NamedTuple):
+    """Vertical localization group (getoverlapindices_vert,
+    res_domain.f90:206-256): a reservoir owns core sigma levels
+    [z0, z1) and sees input levels [zi0, zi1) (core + clipped overlap).
+    Only the BOTTOM group carries the 2-D surface blocks
+    (logp/precip/sst in+out; trained_reservoir_prediction,
+    mod_reservoir.f90:1790-1811); every group sees TISR."""
+    z0: int
+    z1: int
+    zi0: int
+    zi1: int
+    top: bool
+    bottom: bool
+
+    @property
+    def nz_core(self):
+        return self.z1 - self.z0
+
+    @property
+    def nz_in(self):
+        return self.zi1 - self.zi0
+
+    @property
+    def z_off(self):
+        """Core offset inside the input window."""
+        return self.z0 - self.zi0
+
+
+def vert_specs(nz: int, num_vert_levels: int, vert_overlap: int
+               ) -> list[VertSpec]:
+    """All vertical groups (get_z_res_extent + getoverlapindices_vert,
+    res_domain.f90:143-256), 0-based half-open ranges."""
+    if nz % num_vert_levels:
+        raise ValueError(f"nz={nz} not divisible by {num_vert_levels}")
+    zchunk = nz // num_vert_levels
+    out = []
+    for g in range(num_vert_levels):
+        z0, z1 = g * zchunk, (g + 1) * zchunk
+        zi0 = max(z0 - vert_overlap, 0)
+        zi1 = min(z1 + vert_overlap, nz)
+        out.append(VertSpec(z0=z0, z1=z1, zi0=zi0, zi1=zi1,
+                            top=(z0 == 0), bottom=(z1 == nz)))
+    return out
+
+
+FULL_COLUMN = None   # sentinel: single group spanning all levels (bottom)
+
+
+def full_column_spec(nz: int) -> VertSpec:
+    return VertSpec(z0=0, z1=nz, zi0=0, zi1=nz, top=True, bottom=True)
+
+
 class VectorLayout(NamedTuple):
     """Slice offsets of each block inside the packed vector."""
     atmo: tuple        # (start, end)

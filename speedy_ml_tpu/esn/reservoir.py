@@ -68,6 +68,12 @@ class BatchedReservoir:
     # None -> use onehots/cols paths.
     shifts: tuple | None = dataclasses.field(
         metadata=dict(static=True), default=None)
+    # per-row input index map (R, n) int32 for Win, used when the block
+    # structure is NOT uniform (reference-imported reservoirs are ragged:
+    # land regions drop the SST input block, so q = n/I varies per region
+    # and padded rows must read a shifted input position).  None -> the
+    # uniform repeat-broadcast path.
+    win_cols: jnp.ndarray | None = None
 
     @property
     def n(self):
@@ -89,7 +95,11 @@ class BatchedReservoir:
         """Win @ u for the block-diagonal Win. u (R, I) -> (R, n).
 
         Row j couples input j // q, i.e. each input value repeats q times
-        - a broadcast/reshape, NOT a gather (XLA/TPU gathers are slow)."""
+        - a broadcast/reshape, NOT a gather (XLA/TPU gathers are slow).
+        Ragged imports carry an explicit per-row input map instead."""
+        if self.win_cols is not None:
+            u_exp = jnp.take_along_axis(u, self.win_cols, axis=1)
+            return self.win_vals * u_exp
         q = self.n // self.n_in
         u_exp = jnp.repeat(u, q, axis=1, total_repeat_length=self.n)
         return self.win_vals * u_exp

@@ -72,6 +72,26 @@ def n_components(nvar: int, nz: int, *, logp: bool, precip: bool, sst: bool,
     return nvar * nz + sum([logp, precip, sst, tisr])
 
 
+def core_component_map(nx: int, ny: int, nvar: int, nz_in: int,
+                       nz_core: int, z_off: int, *, logp: bool,
+                       precip: bool) -> np.ndarray:
+    """Component ids of a packed CORE vector, expressed in the INPUT
+    vector's component numbering.
+
+    Needed for vertical localization: the core owns levels
+    [z_off, z_off+nz_core) of the input window, so core (v, z) shares the
+    input component v*nz_in + z + z_off (standardize/unstandardize of
+    targets reuse the input statistics, res_domain.f90:1189-1540)."""
+    comp = component_expansion(nx, ny, nvar, nz_core, logp=logp,
+                               precip=precip, sst=False, tisr=False)
+    a_small = nvar * nz_core
+    v = comp // nz_core
+    z = comp % nz_core
+    out = np.where(comp < a_small, v * nz_in + z + z_off,
+                   comp - a_small + nvar * nz_in)
+    return out.astype(np.int32)
+
+
 def compute_standardizer(series: jnp.ndarray, comp_map_in: np.ndarray,
                          comp_map_out: np.ndarray, n_comp: int) -> Standardizer:
     """Fit per-component mean/std from a packed input series (T, R, I).

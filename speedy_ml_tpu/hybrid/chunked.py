@@ -1,0 +1,428 @@
+"""Production-scale reservoir training: region-chunked, host-streamed.
+
+The reference trains 1,152 regions over ~26 years of hourly data
+(mod_reservoir.f90:1559-1699 batched normal equations;
+mod_io.f90:1878 year-wise streaming NetCDF reads; the strided sub-series
+loop at mod_reservoir.f90:287-299 splits the hourly series into
+`timestep` interleaves and SUMS their normal equations).  At that scale
+neither the packed input series (T, R, I) ~ 100 GB nor the batched Gram
+matrices (R, S+n, S+n) ~ 160 GB fit in one chip's HBM, so this module
+tiles the problem two ways:
+
+- **region chunks**: the Gram/normal-equation accumulation and the ridge
+  solve run over `region_chunk` regions at a time — HBM holds one
+  (Rch, S+n, S+n) block (donated across accumulation steps, so XLA
+  updates it in place);
+- **time chunks**: the input series never materializes whole.  A
+  `SeriesSource` yields global grids for requested sample indices
+  (in-memory arrays, or year-files via data.era); each chunk is packed,
+  standardized, and scanned on device, carrying only the reservoir state
+  x between chunks.
+
+The strided sub-series of the reference are supported via `stride`:
+sub-series s takes samples s, s+stride, ...; each restarts the reservoir
+transient and all accumulate into the SAME normal equations.
+
+Chunking is exact: `tests/test_chunked.py` proves chunked == unchunked
+Wout (noise off) and chunk-size invariance (noise on, keys derived from
+absolute sample indices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.esn.domain import RegionLayout, build_layout
+from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper, esn_step,
+                                         generate, quad_expand, radius_by_lat)
+from speedy_ml_tpu.esn.standardize import (Standardizer, component_expansion,
+                                           compute_standardizer, n_components)
+from speedy_ml_tpu.esn.train import NormalEq, apply_noise, solve_wout
+from speedy_ml_tpu.hybrid.model import ClassPack
+from speedy_ml_tpu.hybrid.training import (log_precip_transform, NVAR,
+                                           pack_class_model_series,
+                                           pack_class_series)
+
+
+class ArraySource:
+    """In-memory SeriesSource over the hybrid.training truth/model dicts.
+
+    Protocol (any object with these members works — e.g. a year-file
+    streaming reader backed by data.era):
+      n_samples: int
+      truth_at(idx) -> dict of numpy/jnp arrays indexed at sample indices
+                       (atmo (B,4,K,lat,lon), logp/precip/sst/tisr (B,lat,lon))
+      model_at(idx) -> dict(atmo, logp) or None
+    """
+
+    def __init__(self, truth: dict, model: Optional[dict] = None):
+        self.truth = truth
+        self.model = model
+
+    @property
+    def n_samples(self) -> int:
+        return self.truth["atmo"].shape[0]
+
+    def truth_at(self, idx: np.ndarray) -> dict:
+        return {k: np.asarray(v)[idx] for k, v in self.truth.items()}
+
+    def model_at(self, idx: np.ndarray) -> Optional[dict]:
+        if self.model is None:
+            return None
+        return {k: np.asarray(v)[idx] for k, v in self.model.items()}
+
+
+class ERASource:
+    """SeriesSource over yearly ERA5 files (data.era.ERA5Reader) plus an
+    optional model-forecast reader; loads whole years lazily with an LRU
+    of one year, which matches the reference's year-loop streaming reads
+    (speedy_res_interface.f90:439-632)."""
+
+    def __init__(self, reader, year0: int, n_samples: int,
+                 sample_stride_hours: int = 1, model_reader=None):
+        self.reader = reader
+        self.year0 = year0
+        self._n = n_samples
+        self.stride_h = sample_stride_hours
+        self.model_reader = model_reader
+        self._cache_year = None
+        self._cache = None
+
+    @property
+    def n_samples(self) -> int:
+        return self._n
+
+    def _hours(self, idx: np.ndarray) -> np.ndarray:
+        return np.asarray(idx) * self.stride_h
+
+    def truth_at(self, idx: np.ndarray) -> dict:
+        from speedy_ml_tpu.data.era import era_to_truth
+        hours = self._hours(idx)
+        # assume all indices fall in one model year chunk per call
+        # (callers iterate in time order with modest chunk sizes)
+        year = self.year0 + int(hours[0]) // 8760
+        off = hours - (year - self.year0) * 8760
+        if self._cache_year != year:
+            self._cache = self.reader.read_year(
+                year, variables=("t", "u", "v", "q", "logp", "precip",
+                                 "sst", "tisr"))
+            self._cache_year = year
+        return era_to_truth({k: v[off] for k, v in self._cache.items()})
+
+    def model_at(self, idx: np.ndarray) -> Optional[dict]:
+        if self.model_reader is None:
+            return None
+        return self.model_reader(self._hours(idx))
+
+
+# ----------------------------------------------------------------------
+# streaming standardizer
+# ----------------------------------------------------------------------
+
+def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
+                           time_chunk: int = 512, precip_eps: float = 0.001,
+                           dtype=jnp.float32) -> Standardizer:
+    """Per-component mean/std over the full series without materializing
+    it (the streaming twin of esn.standardize.compute_standardizer)."""
+    xi, yi = cls.input_shape
+    xc, yc = cls.core_shape
+    comp_in = component_expansion(xi, yi, NVAR, nz, logp=True, precip=True,
+                                  sst=True, tisr=True)
+    comp_out = component_expansion(xc, yc, NVAR, nz, logp=True, precip=True,
+                                   sst=False, tisr=False)
+    nc = n_components(NVAR, nz, logp=True, precip=True, sst=True, tisr=True)
+    cm = jnp.asarray(comp_in)
+    onehot_np = np.zeros((len(comp_in), nc), dtype=np.float64)
+    onehot_np[np.arange(len(comp_in)), comp_in] = 1.0
+    onehot = jnp.asarray(onehot_np, dtype=dtype)
+
+    @jax.jit
+    def acc(chunk, s1, s2, cnt):
+        series = pack_class_series(layout, cls, chunk, precip_eps
+                                   ).astype(dtype)
+        s1 = s1 + jnp.einsum("tri,ic->rc", series, onehot)
+        s2 = s2 + jnp.einsum("tri,ic->rc", series * series, onehot)
+        cnt = cnt + onehot.sum(axis=0) * series.shape[0]
+        return s1, s2, cnt
+
+    Rc = cls.count
+    s1 = jnp.zeros((Rc, nc), dtype=dtype)
+    s2 = jnp.zeros((Rc, nc), dtype=dtype)
+    cnt = jnp.zeros((nc,), dtype=dtype)
+    T = source.n_samples
+    for t0 in range(0, T, time_chunk):
+        idx = np.arange(t0, min(t0 + time_chunk, T))
+        chunk = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
+        s1, s2, cnt = acc(chunk, s1, s2, cnt)
+
+    cnt = jnp.maximum(cnt, 1.0)
+    mean_c = s1 / cnt
+    var_c = jnp.maximum(s2 / cnt - mean_c**2, 1e-30)
+    std_c = jnp.sqrt(var_c)
+    cmo = jnp.asarray(comp_out)
+    return Standardizer(comp_mean=mean_c, comp_std=std_c,
+                        in_mean=mean_c[:, cm], in_std=std_c[:, cm],
+                        out_mean=mean_c[:, cmo], out_std=std_c[:, cmo])
+
+
+# ----------------------------------------------------------------------
+# chunked accumulation
+# ----------------------------------------------------------------------
+
+def _chunk_accumulators(hyper: ESNHyper, shifts, n_in: int):
+    """Build the two jitted inner programs (advance-only and accumulate).
+
+    Noise is already applied to z by the caller (on the FULL class, so
+    results are independent of region chunking).  ss/st/x are donated so
+    XLA reuses their HBM across calls — at production scale ss alone is
+    gigabytes per region chunk."""
+
+    def mkres(vals, win_vals):
+        R, n = win_vals.shape
+        return BatchedReservoir(
+            cols=jnp.zeros((0,), dtype=jnp.int32), vals=vals,
+            win_vals=win_vals, wout=jnp.zeros((R, 0, 0), dtype=vals.dtype),
+            mean=jnp.zeros((R, 0)), std=jnp.ones((R, 0)),
+            n_in=n_in, shifts=shifts)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def advance(vals, win_vals, x, z):
+        res = mkres(vals, win_vals)
+
+        def body(xc, u):
+            return esn_step(res, xc, u, hyper.leakage), None
+
+        x, _ = jax.lax.scan(body, x, z)
+        return x
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+    def accumulate(vals, win_vals, x, ss, st, z, target, model):
+        """Pair states with targets over the chunk, chunking_matmul-style
+        (mod_reservoir.f90:1592-1699): state x_t (inputs absorbed up to
+        t-1) pairs with target[t]; z/target/model have equal length C."""
+        res = mkres(vals, win_vals)
+
+        def collect(xc, u):
+            xn = esn_step(res, xc, u, hyper.leakage)
+            return xn, xn
+
+        x_last, tail = jax.lax.scan(collect, x, z[:-1])
+        states = jnp.concatenate([x[None], tail], axis=0)    # (C, Rch, n)
+        states = quad_expand(states)
+        if model is not None:
+            aug = jnp.concatenate([model, states], axis=2)
+        else:
+            aug = states
+        ss = ss + jnp.einsum("brm,brk->rmk", aug, aug)
+        st = st + jnp.einsum("bro,brk->rok", target, aug)
+        # advance into the next chunk's first state
+        x_next = esn_step(res, x_last, z[-1], hyper.leakage)
+        return x_next, ss, st
+
+    return advance, accumulate
+
+
+def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
+                           key, nz: int, *,
+                           region_chunk: int = 32, time_chunk: int = 128,
+                           stride: int = 1, n_discard: int = 10,
+                           n_pairs: Optional[int] = None,
+                           precip_eps: float = 0.001, dtype=jnp.float32,
+                           topology: str = "shift",
+                           std: Optional[Standardizer] = None,
+                           hybrid: bool = True,
+                           progress=None) -> ClassPack:
+    """Region-chunked + time-streamed train_class (production scale).
+
+    source: SeriesSource of T samples; with `stride` > 1 the samples are
+    split into `stride` interleaved sub-series (the reference's hourly
+    data against the 6-h reservoir step, mod_reservoir.f90:287-299), each
+    restarting the reservoir transient, all summing into one NormalEq.
+
+    n_pairs: per-sub-series cap on (state, target) pairs — used by tests
+    to match the unchunked trainer's complete-batch coverage; default all.
+    """
+    Rc = cls.count
+    T = source.n_samples
+    if std is None:
+        std = streaming_standardizer(layout, cls, source, nz,
+                                     time_chunk=max(time_chunk, 128),
+                                     precip_eps=precip_eps, dtype=dtype)
+
+    lat_s = layout.lat_start[cls.region_ids]
+    lat_e = layout.lat_end[cls.region_ids]
+    radius = radius_by_lat(lat_s, lat_e)
+    cols, vals, win, shifts = generate(key, Rc, hyper_inputs(layout, cls, nz),
+                                       hyper, radius, dtype=dtype,
+                                       topology=topology)
+    n = vals.shape[2]
+    xc, yc = cls.core_shape
+    O = NVAR * nz * xc * yc + 2 * xc * yc        # atmo + logp + precip
+    S = (O - xc * yc) if hybrid else 0           # model block: atmo + logp
+
+    noise_on = hyper.noise_mag > 0
+    noise_key = jax.random.fold_in(key, 99) if noise_on else None
+    lay_in = build_layout(*cls.input_shape, NVAR, nz, logp=True, precip=True,
+                          sst=True, tisr=True)
+    pm_idx = NVAR * nz + 1
+    precip_info = None
+    if noise_on:
+        precip_info = dict(slice=lay_in.precip,
+                           mean=std.comp_mean[:, pm_idx:pm_idx + 1],
+                           std=std.comp_std[:, pm_idx:pm_idx + 1],
+                           eps=precip_eps)
+
+    # jitted prep: pack + standardize one time chunk for the FULL class
+    # (packing is rolls over small global grids — cheap next to the
+    # recurrence), plus target extraction, model standardization, and
+    # training-noise injection (targets stay clean; noise is drawn at
+    # full-class shape keyed by absolute sample index, so results are
+    # independent of both region and time chunking)
+    @jax.jit
+    def prep(chunk_truth, chunk_model, keys):
+        series = pack_class_series(layout, cls, chunk_truth, precip_eps
+                                   ).astype(dtype)
+        z = std.standardize_input(series)
+        C = z.shape[0]
+        target = layout.input_to_target(
+            cls, z.reshape(C * Rc, -1), NVAR, nz, nz, 0,
+            logp=True, precip=True, sst=True, tisr=True).reshape(C, Rc, -1)
+        if keys is not None:
+            def add_noise(k, u):
+                if precip_info is None:
+                    return apply_noise(k, u, hyper.noise_mag)
+                return apply_noise(k, u, hyper.noise_mag,
+                                   precip_slice=precip_info["slice"],
+                                   precip_mean=precip_info["mean"],
+                                   precip_std=precip_info["std"],
+                                   precip_eps=precip_eps)
+            z = jax.vmap(add_noise)(keys, z)
+        if chunk_model is None:
+            return z, target, None
+        mser = pack_class_model_series(layout, cls, chunk_model).astype(dtype)
+        zm = (mser - std.out_mean[None, :, :S]) / std.out_std[None, :, :S]
+        return z, target, zm
+
+    eq_dtype = jnp.float32 if dtype == jnp.float32 else dtype
+    wout_parts = []
+    # built ONCE: jit caches by shape, so all full-size region chunks
+    # share one compilation (the ragged tail chunk adds one more)
+    advance, accumulate = _chunk_accumulators(hyper, shifts,
+                                              std.in_mean.shape[1])
+
+    for r0 in range(0, Rc, region_chunk):
+        r1 = min(r0 + region_chunk, Rc)
+        Rch = r1 - r0
+        vals_ch = vals[:, r0:r1]
+        win_ch = win[r0:r1]
+        A = S + n
+        ss = jnp.zeros((Rch, A, A), dtype=eq_dtype)
+        st = jnp.zeros((Rch, O, A), dtype=eq_dtype)
+
+        for s in range(stride):
+            sub_idx = np.arange(s, T, stride)
+            L = len(sub_idx)
+            pairs_total = L - n_discard if n_pairs is None else min(
+                n_pairs, L - n_discard)
+            sub_key = (jax.random.fold_in(noise_key, s) if noise_on
+                       else None)
+            x = jnp.zeros((Rch, n), dtype=dtype)
+            pos = 0     # position within this sub-series
+            while pos < n_discard + pairs_total:
+                c0 = pos
+                c1 = min(pos + time_chunk, n_discard + pairs_total)
+                idx = sub_idx[c0:c1]
+                truth = {k: jnp.asarray(v)
+                         for k, v in source.truth_at(idx).items()}
+                model = source.model_at(idx) if hybrid else None
+                model = (None if model is None else
+                         {k: jnp.asarray(v) for k, v in model.items()})
+                keys = None
+                if noise_on:
+                    keys = jax.vmap(
+                        lambda i: jax.random.fold_in(sub_key, i))(
+                            jnp.arange(c0, c1))
+                z, target, zm = prep(truth, model, keys)
+                z = z[:, r0:r1]
+                target = target[:, r0:r1]
+                zm = None if zm is None else zm[:, r0:r1]
+                if c1 <= n_discard:
+                    x = advance(vals_ch, win_ch, x, z)
+                elif c0 >= n_discard:
+                    x, ss, st = accumulate(vals_ch, win_ch, x, ss, st,
+                                           z, target, zm)
+                else:
+                    d = n_discard - c0
+                    x = advance(vals_ch, win_ch, x, z[:d])
+                    x, ss, st = accumulate(
+                        vals_ch, win_ch, x, ss, st, z[d:], target[d:],
+                        None if zm is None else zm[d:])
+                pos = c1
+                if progress is not None:
+                    progress(r0, s, pos)
+
+        wout_ch = solve_wout(NormalEq(ss=ss, st=st), hyper,
+                             n_speedy=S if hybrid else 0)
+        wout_parts.append(np.asarray(wout_ch))
+        del ss, st
+
+    wout = jnp.asarray(np.concatenate(wout_parts, axis=0), dtype=dtype)
+    onehots = None
+    if (shifts is None and jax.default_backend() != "cpu" and cols.ndim == 2):
+        from speedy_ml_tpu.esn.reservoir import make_onehots
+        onehots = make_onehots(cols, n, dtype)
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win,
+                           n_in=std.in_mean.shape[1], wout=wout,
+                           mean=std.in_mean, std=std.in_std,
+                           onehots=onehots, shifts=shifts)
+    return ClassPack(cls=cls, res=res, hyper=hyper, std=std)
+
+
+def hyper_inputs(layout: RegionLayout, cls, nz: int) -> int:
+    """Input vector length for a class (atmo + logp/precip/sst/tisr)."""
+    xi, yi = cls.input_shape
+    return build_layout(xi, yi, NVAR, nz, logp=True, precip=True,
+                        sst=True, tisr=True).total
+
+
+def train_hybrid_production(gcm, layout: RegionLayout, source,
+                            hyper: ESNHyper, key, *, ocean: bool = False,
+                            ocean_hyper=None, hybrid: bool = True,
+                            **kw):
+    """Train every region class at production scale and assemble the
+    hybrid atmosphere (the streaming twin of training.train_hybrid)."""
+    from speedy_ml_tpu.hybrid.model import HybridAtmosphere
+
+    packs = []
+    for i, cls in enumerate(layout.classes):
+        packs.append(train_class_production(
+            layout, cls, source, hyper, jax.random.fold_in(key, i),
+            gcm.geom.nlev, hybrid=hybrid, **kw))
+    ocean_packs = None
+    base_sst = sea_mask = None
+    if ocean:
+        from speedy_ml_tpu.esn.ocean import OCEAN_HYPER
+        from speedy_ml_tpu.hybrid.training import train_ocean_class
+        ocean_hyper = ocean_hyper or OCEAN_HYPER
+        # the slab series is T/28 samples — small even at production;
+        # materialize truth once per class from the source
+        idx = np.arange(source.n_samples)
+        truth = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
+        ocean_packs = []
+        for i, (cls, p) in enumerate(zip(layout.classes, packs)):
+            ocean_packs.append(train_ocean_class(
+                layout, cls, p, ocean_hyper,
+                jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
+                truth=truth, dtype=kw.get("dtype", jnp.float32),
+                topology=kw.get("topology", "shift")))
+        base_sst = jnp.asarray(np.asarray(truth["sst"]).mean(axis=0))
+        sea_mask = jnp.asarray(np.asarray(gcm.bd.fmask_l) > 0.0)
+    return HybridAtmosphere(gcm, layout, packs, ml_only=not hybrid,
+                            ocean_packs=ocean_packs, base_sst=base_sst,
+                            sea_mask=sea_mask)

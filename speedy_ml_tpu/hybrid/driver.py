@@ -66,11 +66,17 @@ class PredictionWriter:
 def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                    output_path: str | None = None,
                    stop_if_unsafe: bool = True,
-                   timestep_hours: int = 6):
+                   timestep_hours: int = 6,
+                   sst_bias_per_year: float = 0.0):
     """Run `n_cycles` hybrid 6-h cycles from `hstate`.
 
     Returns (final state, list of dates).  Stops early if the SPEEDY
-    safety gate trips (parallelmain.f90:268-270)."""
+    safety gate trips (parallelmain.f90:268-270).  sst_bias_per_year:
+    non-stationary-climate SST ramp (K/year) applied to climatological
+    SST over open water (mod_utilities.f90:1806-1823 ramp +
+    current_sst_bias of get_sst_by_date)."""
+    from speedy_ml_tpu.data.calendar import hour_of_year_365
+
     writer = PredictionWriter(output_path) if output_path else None
     date = start_date
     dates = []
@@ -86,10 +92,13 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
         if stop_if_unsafe and prev_safe is not None and not bool(prev_safe):
             print(f"prediction stopped: SPEEDY safety gate at cycle {i - 1}")
             break
+        bias = sst_bias_per_year * (i * timestep_hours) / 8760.0
         hstate, diag = hyb.cycle_with_params(
             params, hstate, jnp.asarray(date.month - 1),
             jnp.asarray(date.tmonth, dtype=dt),
-            jnp.asarray(date.tyear, dtype=dt))
+            jnp.asarray(date.tyear, dtype=dt),
+            jnp.asarray(hour_of_year_365(date), dtype=jnp.int32),
+            jnp.asarray(bias, dtype=dt))
         prev_safe = hstate.safe
         dates.append(date)
         date = date.advance_hours(timestep_hours)

@@ -91,11 +91,21 @@ class ClassPack(NamedTuple):
     `cls` and `hyper` are static; `res` and `std` are the dynamic model
     parameters.  Jitted entry points take the dynamic parts explicitly
     (see HybridAtmosphere.params) so multi-GB weights are real arguments
-    of the XLA program, not captured constants."""
+    of the XLA program, not captured constants.
+
+    zspec: vertical-localization group (esn.domain.VertSpec) — None means
+    the single full-column group.  With num_vert_levels > 1 each
+    (horizontal class, vertical group) is its own pack; only bottom
+    groups carry logp/precip/sst (res_domain.f90:206-256)."""
     cls: RegionClass
     res: BatchedReservoir
     hyper: ESNHyper
     std: Standardizer
+    zspec: object = None
+
+    @property
+    def bottom(self):
+        return self.zspec is None or self.zspec.bottom
 
 
 class HybridAtmosphere:
@@ -120,6 +130,13 @@ class HybridAtmosphere:
         # (mpires.f90:458-472; sea_mask > 0 means LAND there)
         self.base_sst = base_sst
         self.sea_mask = sea_mask
+        # date-indexed climatology tables (set_tisr_table/set_sst_table):
+        # full_tisr (n_hours, lat, lon) hourly-ish over a 365-day year and
+        # full_sst (365, lat, lon) daily (get_tisr_by_date/get_sst_by_date,
+        # mpires.f90:1644-1725).  Absent -> analytic TISR, SST held/ML.
+        self.tisr_table = None
+        self.tisr_hours_per_entry = 1
+        self.sst_table = None
         g = gcm.geom
         self.nz = g.nlev
         # steps of the GCM inside one hybrid window
@@ -169,15 +186,19 @@ class HybridAtmosphere:
 
         cls_states = []
         for p in self.packs:
-            series = pack_class_series(self.layout, p.cls, truth_sync)
+            series = pack_class_series(self.layout, p.cls, truth_sync,
+                                       zspec=p.zspec)
             z = p.std.standardize_input(series.astype(self.gcm.dtype))
             x = synchronize(p.res, jnp.zeros((p.cls.count, p.res.n),
                                              dtype=self.gcm.dtype),
                             z[:-1], p.hyper.leakage)
             feedback = z[-1]
             if model_next is not None:
+                a = (model_next["atmo"] if p.zspec is None
+                     else model_next["atmo"][:, p.zspec.z0:p.zspec.z1])
                 vec = self.layout.pack_vector(
-                    p.cls, model_next["atmo"], logp=model_next["logp"],
+                    p.cls, a,
+                    logp=model_next["logp"] if p.bottom else None,
                     core_only=True)
                 S = p.res.n_speedy
                 lm = (vec[:, :S] - p.std.out_mean[:, :S]) / p.std.out_std[:, :S]
@@ -187,11 +208,14 @@ class HybridAtmosphere:
             cls_states.append(ClassState(x=x, feedback=feedback,
                                          local_model=lm))
 
-        # seed the ocean rolling buffers from the sync window
+        # seed the ocean rolling buffers from the sync window (paired with
+        # the BOTTOM atmo pack of each class — the slab ocean reads the
+        # lowest-level inputs, get_training_data_from_atmo)
         ocean_states = []
         if self.ocean_packs:
             W = self.SLAB_STRIDE - 1
-            for op, p in zip(self.ocean_packs, self.packs):
+            for op, bi in zip(self.ocean_packs, self._bottom_index()):
+                p = self.packs[bi]
                 series = pack_class_series(self.layout, op.cls, truth_sync)
                 z = p.std.standardize_input(series.astype(self.gcm.dtype))
                 o_series = z[:, :, jnp.asarray(op.idx_map)]
@@ -208,6 +232,17 @@ class HybridAtmosphere:
                            step=jnp.asarray(0, dtype=jnp.int32),
                            ocean=tuple(ocean_states))
 
+    def _bottom_index(self) -> list:
+        """Index into packs of each layout class's bottom pack (the one
+        carrying surface blocks), in layout.classes order."""
+        out = []
+        for cls in self.layout.classes:
+            for i, p in enumerate(self.packs):
+                if p.cls is cls and p.bottom:
+                    out.append(i)
+                    break
+        return out
+
     # ------------------------------------------------------------------
     # pieces of the cycle
     # ------------------------------------------------------------------
@@ -223,7 +258,8 @@ class HybridAtmosphere:
     def _with_params(self, params):
         """(atmo packs, ocean packs) with dynamic parts from `params`."""
         atmo_p, ocean_p = params
-        packs = [ClassPack(cls=p.cls, res=r, hyper=p.hyper, std=s)
+        packs = [ClassPack(cls=p.cls, res=r, hyper=p.hyper, std=s,
+                           zspec=p.zspec)
                  for p, (r, s) in zip(self.packs, atmo_p)]
         opacks = [OceanPack(cls=op.cls, res=r, hyper=op.hyper,
                             idx_map=op.idx_map, mean_sst=m, std_sst=s)
@@ -263,18 +299,28 @@ class HybridAtmosphere:
 
     def assemble_global(self, packs, outvecs):
         """Scatter region outputs into global grids + clamps
-        (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478)."""
+        (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478).
+
+        With vertical localization each pack writes only its core sigma
+        band; logp/precip come from the bottom groups."""
         g = self.gcm.geom
         dt = self.gcm.dtype
         atmo = jnp.zeros((self.NVAR, self.nz, g.nlat, g.nlon), dtype=dt)
         logp = jnp.zeros((g.nlat, g.nlon), dtype=dt)
         precip = jnp.zeros((g.nlat, g.nlon), dtype=dt)
         for p, vec in zip(packs, outvecs):
+            nz_core = self.nz if p.zspec is None else p.zspec.nz_core
             parts = self.layout.unpack_core_vector(
-                p.cls, vec, self.NVAR, self.nz, logp=True, precip=True)
-            atmo = self.layout.scatter_core(p.cls, parts["atmo"], atmo)
-            logp = self.layout.scatter_core(p.cls, parts["logp"], logp)
-            precip = self.layout.scatter_core(p.cls, parts["precip"], precip)
+                p.cls, vec, self.NVAR, nz_core,
+                logp=p.bottom, precip=p.bottom)
+            z0 = 0 if p.zspec is None else p.zspec.z0
+            band = self.layout.scatter_core(
+                p.cls, parts["atmo"], atmo[:, z0:z0 + nz_core])
+            atmo = atmo.at[:, z0:z0 + nz_core].set(band)
+            if p.bottom:
+                logp = self.layout.scatter_core(p.cls, parts["logp"], logp)
+                precip = self.layout.scatter_core(p.cls, parts["precip"],
+                                                  precip)
         atmo = atmo.at[3].set(jnp.maximum(atmo[3], 1e-6))   # q clamp
         precip = jnp.where(precip < 1e-5, 0.0, precip)
         return atmo, logp, precip
@@ -342,8 +388,15 @@ class HybridAtmosphere:
         scatter + standardize, mpires.f90:561-750)."""
         out = []
         for p in packs:
+            if p.zspec is None:
+                a = atmo
+            else:
+                a = atmo[:, p.zspec.zi0:p.zspec.zi1]
             vec = self.layout.pack_vector(
-                p.cls, atmo, logp=logp, precip=precip, sst=sst_grid,
+                p.cls, a,
+                logp=logp if p.bottom else None,
+                precip=precip if p.bottom else None,
+                sst=sst_grid if p.bottom else None,
                 tisr=tisr_grid)
             out.append(p.std.standardize_input(vec))
         return out
@@ -352,37 +405,81 @@ class HybridAtmosphere:
         """Per-class standardized SPEEDY forecast vectors (core, atmo+logp)."""
         out = []
         for p in packs:
-            vec = self.layout.pack_vector(p.cls, fc_atmo, logp=fc_logp,
-                                          core_only=True)
+            if p.zspec is None:
+                a = fc_atmo
+            else:
+                a = fc_atmo[:, p.zspec.z0:p.zspec.z1]
+            vec = self.layout.pack_vector(
+                p.cls, a, logp=fc_logp if p.bottom else None,
+                core_only=True)
             # speedy vector = output layout minus the trailing precip block
             S = p.res.n_speedy
             vec = vec[:, :S]
             out.append((vec - p.std.out_mean[:, :S]) / p.std.out_std[:, :S])
         return out
 
-    def tisr_field(self, tyear):
-        """Analytic daily-mean TOA insolation as the TISR input.
+    def set_tisr_table(self, table, hours_per_entry: int = 1):
+        """Install a TISR climatology over one 365-day year
+        (full_tisr of get_tisr_by_date, mpires.f90:1644-1676).
+        table: (n_entries, lat, lon), entry k valid at hour
+        k*hours_per_entry into the year."""
+        self.tisr_table = jnp.asarray(table, dtype=self.gcm.dtype)
+        self.tisr_hours_per_entry = int(hours_per_entry)
 
-        The reference reads an hourly ERA5 TISR climatology
-        (get_tisr_by_date, mpires.f90:1644-1676); without that dataset the
-        framework substitutes the Hartmann daily-mean insolation, which
-        carries the same seasonal signal. Hourly climatologies can be
-        plugged in through `set_tisr_table`."""
+    def set_sst_table(self, table):
+        """Install a daily SST climatology (365, lat, lon)
+        (full_sst of get_sst_by_date, mpires.f90:1679-1725)."""
+        self.sst_table = jnp.asarray(table, dtype=self.gcm.dtype)
+
+    def tisr_field(self, tyear, hour_of_year=None):
+        """TISR input field for the current date.
+
+        With a table installed (set_tisr_table) and a traced
+        hour_of_year, index it like get_tisr_by_date
+        (mpires.f90:1644-1676); otherwise substitute the analytic
+        Hartmann daily-mean insolation, which carries the same seasonal
+        signal."""
         g = self.gcm.geom
+        if self.tisr_table is not None and hour_of_year is not None:
+            k = (hour_of_year // self.tisr_hours_per_entry) % \
+                self.tisr_table.shape[0]
+            return jax.lax.dynamic_index_in_dim(self.tisr_table, k, 0,
+                                                keepdims=False)
         slat = jnp.asarray(g.sin_lat, dtype=self.gcm.dtype)
         clat = jnp.asarray(g.cos_lat, dtype=self.gcm.dtype)
         row = solar_flux_traced(tyear, 4.0 * SOLC, slat, clat)
         return jnp.broadcast_to(row[:, None], (g.nlat, g.nlon))
 
+    def sst_by_date(self, hour_of_year, sst_bias):
+        """Daily-climatology SST with the non-stationary bias ramp applied
+        over open water (get_sst_by_date, mpires.f90:1679-1725: bias added
+        where SST > 273 K when non_stationary_ocn_climo)."""
+        day = (hour_of_year // 24) % self.sst_table.shape[0]
+        sst = jax.lax.dynamic_index_in_dim(self.sst_table, day, 0,
+                                           keepdims=False)
+        return jnp.where(sst > 273.0, sst + sst_bias, sst)
+
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
     def cycle_with_params(self, params, hstate: HybridState, imon, fmon,
-                          tyear) -> tuple:
+                          tyear, hour_of_year=None, sst_bias=0.0) -> tuple:
         """One 6-h hybrid step with explicit parameters (jit arguments).
 
+        hour_of_year: traced int hour into the 365-day year, required for
+        the date-indexed TISR/SST climatology tables; sst_bias: the
+        non-stationary-climate SST offset (current_sst_bias).
         Returns (new_state, diagnostics dict)."""
         packs, opacks = self._with_params(params)
+
+        # SST seen by the ESN inputs and SPEEDY this cycle: without an ML
+        # ocean, follow the daily climatology (get_sst_by_date); the ML
+        # ocean overwrites it every SLAB_STRIDE cycles below.
+        if self.sst_table is not None and hour_of_year is not None \
+                and not self.ocean_packs:
+            hstate = dataclasses.replace(
+                hstate, sst_grid=self.sst_by_date(hour_of_year, sst_bias))
+
         new_x, outvecs = self.predict_all(packs, hstate)
         atmo, logp, precip = self.assemble_global(packs, outvecs)
 
@@ -404,7 +501,7 @@ class HybridAtmosphere:
                 lambda _: (atmo, logp),
                 operand=None)
 
-        tisr = self.tisr_field(tyear)
+        tisr = self.tisr_field(tyear, hour_of_year)
         feedbacks = self.build_feedback(packs, atmo, logp, precip,
                                         hstate.sst_grid, tisr)
         if self.ml_only:
@@ -420,7 +517,8 @@ class HybridAtmosphere:
             do_step = (hstate.step % self.SLAB_STRIDE) == (self.SLAB_STRIDE - 1)
             sst_new = jnp.zeros_like(sst_grid)
             ocean_states = []
-            for op, ocs, fb in zip(opacks, hstate.ocean, feedbacks):
+            bottom_fb = [feedbacks[i] for i in self._bottom_index()]
+            for op, ocs, fb in zip(opacks, hstate.ocean, bottom_fb):
                 o_in = fb[:, jnp.asarray(op.idx_map)]
                 buffer = jnp.concatenate([ocs.buffer[1:], o_in[None]], axis=0)
                 fb_mean = buffer.mean(axis=0)
@@ -460,6 +558,8 @@ class HybridAtmosphere:
                     speedy_atmo=fc_atmo, speedy_logp=fc_logp)
         return new_state, diag
 
-    def cycle(self, hstate: HybridState, imon, fmon, tyear) -> tuple:
+    def cycle(self, hstate: HybridState, imon, fmon, tyear,
+              hour_of_year=None, sst_bias=0.0) -> tuple:
         """Convenience wrapper using this instance's stored parameters."""
-        return self.cycle_with_params(self.params, hstate, imon, fmon, tyear)
+        return self.cycle_with_params(self.params, hstate, imon, fmon,
+                                      tyear, hour_of_year, sst_bias)

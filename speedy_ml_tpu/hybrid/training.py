@@ -33,7 +33,8 @@ from speedy_ml_tpu.esn.domain import RegionLayout, build_layout
 from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper, generate,
                                          radius_by_lat)
 from speedy_ml_tpu.esn.standardize import (Standardizer, component_expansion,
-                                           compute_standardizer, n_components)
+                                           compute_standardizer,
+                                           core_component_map, n_components)
 from speedy_ml_tpu.esn.train import (accumulate_batches, discard_transient,
                                      find_closest_divisor, solve_wout,
                                      NormalEq)
@@ -48,39 +49,63 @@ def log_precip_transform(precip: jnp.ndarray, eps: float = 0.001) -> jnp.ndarray
 
 
 def pack_class_series(layout: RegionLayout, cls, truth: dict,
-                      precip_eps: float = 0.001):
-    """Packed input series (T, Rc, I) for one region class."""
+                      precip_eps: float = 0.001, zspec=None):
+    """Packed input series (T, Rc, I) for one region class.
+
+    zspec (VertSpec): vertical-localization group — slices the atmo
+    levels to the input window; non-bottom groups carry only TISR among
+    the 2-D blocks (res_domain.f90:206-256 +
+    mod_reservoir.f90:1790-1811).  None = full column (bottom)."""
     T = truth["atmo"].shape[0]
+    bottom = zspec is None or zspec.bottom
+    z_sl = slice(None) if zspec is None else slice(zspec.zi0, zspec.zi1)
 
     def pack_t(t):
         return layout.pack_vector(
-            cls, truth["atmo"][t], logp=truth["logp"][t],
-            precip=log_precip_transform(truth["precip"][t], precip_eps),
-            sst=truth["sst"][t], tisr=truth["tisr"][t])
+            cls, truth["atmo"][t][:, z_sl],
+            logp=truth["logp"][t] if bottom else None,
+            precip=(log_precip_transform(truth["precip"][t], precip_eps)
+                    if bottom else None),
+            sst=truth["sst"][t] if bottom else None,
+            tisr=truth["tisr"][t])
 
     return jax.lax.map(pack_t, jnp.arange(T))
 
 
-def pack_class_model_series(layout: RegionLayout, cls, model: dict):
-    """Packed imperfect-model core series (T, Rc, S): atmo+logp only."""
+def pack_class_model_series(layout: RegionLayout, cls, model: dict,
+                            zspec=None):
+    """Packed imperfect-model core series (T, Rc, S): atmo+logp only
+    (logp only for the bottom vertical group)."""
     T = model["atmo"].shape[0]
+    bottom = zspec is None or zspec.bottom
+    z_sl = slice(None) if zspec is None else slice(zspec.z0, zspec.z1)
 
     def pack_t(t):
-        return layout.pack_vector(cls, model["atmo"][t],
-                                  logp=model["logp"][t], core_only=True)
+        return layout.pack_vector(cls, model["atmo"][t][:, z_sl],
+                                  logp=model["logp"][t] if bottom else None,
+                                  core_only=True)
 
     return jax.lax.map(pack_t, jnp.arange(T))
+
+
+def class_blocks(zspec=None) -> dict:
+    """Which 2-D blocks a vertical group carries (input side)."""
+    bottom = zspec is None or zspec.bottom
+    return dict(logp=bottom, precip=bottom, sst=bottom, tisr=True)
 
 
 def class_standardizer(layout: RegionLayout, cls, series: jnp.ndarray,
-                       nz: int) -> Standardizer:
+                       nz: int, zspec=None) -> Standardizer:
     xi, yi = cls.input_shape
     xc, yc = cls.core_shape
-    comp_in = component_expansion(xi, yi, NVAR, nz, logp=True, precip=True,
-                                  sst=True, tisr=True)
-    comp_out = component_expansion(xc, yc, NVAR, nz, logp=True, precip=True,
-                                   sst=False, tisr=False)
-    nc = n_components(NVAR, nz, logp=True, precip=True, sst=True, tisr=True)
+    b = class_blocks(zspec)
+    nz_in = nz if zspec is None else zspec.nz_in
+    nz_core = nz if zspec is None else zspec.nz_core
+    z_off = 0 if zspec is None else zspec.z_off
+    comp_in = component_expansion(xi, yi, NVAR, nz_in, **b)
+    comp_out = core_component_map(xc, yc, NVAR, nz_in, nz_core, z_off,
+                                  logp=b["logp"], precip=b["precip"])
+    nc = n_components(NVAR, nz_in, **b)
     return compute_standardizer(series, comp_in, comp_out, nc)
 
 
@@ -88,19 +113,27 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
                 hyper: ESNHyper, key, nz: int, *,
                 n_discard: int = 10, n_batches: int = 20,
                 precip_eps: float = 0.001, dtype=jnp.float32,
-                topology: str = "shift") -> ClassPack:
-    """Train all reservoirs of one class (train_reservoir equivalent)."""
-    series = pack_class_series(layout, cls, truth, precip_eps).astype(dtype)
+                topology: str = "shift", zspec=None) -> ClassPack:
+    """Train all reservoirs of one class (train_reservoir equivalent).
+
+    zspec: vertical-localization group (None = full column)."""
+    series = pack_class_series(layout, cls, truth, precip_eps,
+                               zspec=zspec).astype(dtype)
     T, Rc, I = series.shape
-    std = class_standardizer(layout, cls, series, nz)
+    std = class_standardizer(layout, cls, series, nz, zspec=zspec)
     z_in = std.standardize_input(series)
 
+    b = class_blocks(zspec)
+    nz_in = nz if zspec is None else zspec.nz_in
+    nz_core = nz if zspec is None else zspec.nz_core
+    z_off = 0 if zspec is None else zspec.z_off
     target = layout.input_to_target(
-        cls, z_in.reshape(T * Rc, I), NVAR, nz, nz, 0,
-        logp=True, precip=True, sst=True, tisr=True).reshape(T, Rc, -1)
+        cls, z_in.reshape(T * Rc, I), NVAR, nz_in, nz_core, z_off,
+        **b).reshape(T, Rc, -1)
 
     if model is not None:
-        mser = pack_class_model_series(layout, cls, model).astype(dtype)
+        mser = pack_class_model_series(layout, cls, model,
+                                       zspec=zspec).astype(dtype)
         S = mser.shape[2]
         z_model = (mser - std.out_mean[None, :, :S]) / std.out_std[None, :, :S]
     else:
@@ -129,13 +162,15 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     batch_size = find_closest_divisor(max(1, L // n_batches), L)
 
     noise_key = jax.random.fold_in(key, 99) if hyper.noise_mag > 0 else None
-    lay_in = build_layout(*cls.input_shape, NVAR, nz, logp=True, precip=True,
-                          sst=True, tisr=True)
-    pm_idx = NVAR * nz + 1  # component index of precip
-    precip_info = dict(slice=lay_in.precip,
-                       mean=std.comp_mean[:, pm_idx:pm_idx + 1],
-                       std=std.comp_std[:, pm_idx:pm_idx + 1],
-                       eps=precip_eps)
+    lay_in = build_layout(*cls.input_shape, NVAR, nz_in, **b)
+    if lay_in.precip is not None:
+        pm_idx = NVAR * nz_in + 1  # component index of precip
+        precip_info = dict(slice=lay_in.precip,
+                           mean=std.comp_mean[:, pm_idx:pm_idx + 1],
+                           std=std.comp_std[:, pm_idx:pm_idx + 1],
+                           eps=precip_eps)
+    else:
+        precip_info = None   # non-bottom vertical group: no precip block
 
     x0 = discard_transient(res, hyper, z_in[:n_discard], noise_key=noise_key,
                            precip_info=precip_info if noise_key is not None else None)
@@ -147,7 +182,7 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
         precip_info=precip_info if noise_key is not None else None)
     wout = solve_wout(eq, hyper, n_speedy=S)
     res = dataclasses.replace(res, wout=wout)
-    return ClassPack(cls=cls, res=res, hyper=hyper, std=std)
+    return ClassPack(cls=cls, res=res, hyper=hyper, std=std, zspec=zspec)
 
 
 def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
@@ -210,15 +245,33 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
 def train_hybrid(gcm, layout: RegionLayout, truth: dict,
                  model: Optional[dict], hyper: ESNHyper, key,
                  ocean: bool = False, ocean_hyper=None,
+                 num_vert_levels: int = 1, vert_overlap: int = 0,
                  **kw) -> HybridAtmosphere:
-    """Train every region class and assemble the hybrid atmosphere."""
+    """Train every region class and assemble the hybrid atmosphere.
+
+    num_vert_levels > 1 enables vertical localization: each horizontal
+    class trains one reservoir pack per vertical group
+    (res_domain.f90:206-256); only the bottom group carries surface
+    blocks."""
+    from speedy_ml_tpu.esn.domain import vert_specs
     from speedy_ml_tpu.esn.ocean import OCEAN_HYPER
+
+    if num_vert_levels > 1:
+        specs = vert_specs(gcm.geom.nlev, num_vert_levels, vert_overlap)
+        if ocean:
+            raise NotImplementedError(
+                "slab ocean with vertical localization is not wired; the "
+                "reference's production config uses num_vert_levels=1")
+    else:
+        specs = [None]
 
     packs = []
     for i, cls in enumerate(layout.classes):
-        packs.append(train_class(layout, cls, truth, model, hyper,
-                                 jax.random.fold_in(key, i), gcm.geom.nlev,
-                                 **kw))
+        for gi, zs in enumerate(specs):
+            packs.append(train_class(
+                layout, cls, truth, model, hyper,
+                jax.random.fold_in(key, i * 16 + gi), gcm.geom.nlev,
+                zspec=zs, **kw))
     ocean_packs = None
     base_sst = sea_mask = None
     if ocean:

@@ -90,9 +90,11 @@ def test_reference_weight_reader_format(tmp_path):
     import h5py
     n, I, O, k = 24, 6, 4, 40
     rng = np.random.default_rng(1)
+    # NetCDF stores Fortran arrays transposed: the file holds (I, n) for
+    # the Fortran (n, I) win; the reader transposes back
     with h5py.File(tmp_path / "worker_0001_level_1_test.nc", "w") as f:
-        f["win"] = rng.standard_normal((n, I))
-        f["wout"] = rng.standard_normal((O, n))
+        f["win"] = rng.standard_normal((I, n))
+        f["wout"] = rng.standard_normal((n, O))
         f["rows"] = rng.integers(1, n + 1, size=k)
         f["cols"] = rng.integers(1, n + 1, size=k)
         f["vals"] = rng.standard_normal(k)
