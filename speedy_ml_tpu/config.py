@@ -89,7 +89,25 @@ class RunConfig:
     def build_gcm(self, bd=None):
         import jax.numpy as jnp
         from speedy_ml_tpu.gcm import GCM
-        return GCM(self.geometry(), dtype=jnp.dtype(self.dtype),
+        geom = self.geometry()
+        if bd is None:
+            # real fort.2x climatology when it matches the grid, else the
+            # synthetic aquaplanet (non-T30 geometries have no data files)
+            from speedy_ml_tpu.core.spectral import SpectralTransform
+            from speedy_ml_tpu.physics.boundaries import (
+                load_boundary_data, synthetic_boundary_data)
+            sht = SpectralTransform(geom, dtype=jnp.dtype(self.dtype))
+            # fort.2x files exist only at the reference's 96x48 grid; a
+            # smaller grid that happens to divide the record size would
+            # silently read garbage, so gate on the geometry
+            if (geom.nlon, geom.nlat) == (96, 48) or self.bc_path:
+                try:
+                    bd = load_boundary_data(geom, sht, path=self.bc_path)
+                except (FileNotFoundError, OSError, ValueError):
+                    bd = synthetic_boundary_data(geom, sht)
+            else:
+                bd = synthetic_boundary_data(geom, sht)
+        return GCM(geom, dtype=jnp.dtype(self.dtype),
                    bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd,
                    sppt_on=self.sppt_on)
 

@@ -142,7 +142,7 @@ class SpectralTransform:
     """
 
     def __init__(self, geom: Geometry, radius: float = 6.371e6,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, zonal: str = "fft"):
         self.geom = geom
         self.radius = radius
         self.dtype = jnp.dtype(dtype)
@@ -184,22 +184,49 @@ class SpectralTransform:
         self.cosgr2 = f(1.0 / cosg**2)
         self.ll = np.asarray(tab["ll"])  # int
 
+        # zonal-transform backend: "fft" (XLA FFT kernels) or "dft"
+        # (explicit DFT matmuls).  Only mx of nlon/2+1 frequencies are
+        # kept (triangular truncation), so the DFT matrices are small
+        # (nlon x mx); on the MXU they fuse with the Legendre einsums,
+        # and they compose with ANY sharding — XLA's CPU fft thunk
+        # rejects the relayouts GSPMD introduces around a sharded GCM.
+        self.zonal = zonal
+        if zonal == "dft":
+            j = np.arange(geom.nlon)
+            m = np.arange(geom.mx)
+            ang = 2.0 * np.pi * np.outer(j, m) / geom.nlon
+            self.dft_fwd = (np.exp(-1j * ang) / geom.nlon).astype(
+                np.dtype(self.cdtype))                      # (nlon, mx)
+            cm = np.ones(geom.mx)
+            cm[1:] = 2.0
+            self.dft_inv = (np.exp(1j * ang) * cm[None, :]).T.astype(
+                np.dtype(self.cdtype))                      # (mx, nlon)
+        elif zonal != "fft":
+            raise ValueError(f"zonal must be 'fft' or 'dft', got {zonal}")
+
     # ------------------------------------------------------------------
     # longitude (Fourier) leg
     # ------------------------------------------------------------------
 
     def _specx(self, field: jnp.ndarray) -> jnp.ndarray:
         """Grid (..., nlat, nlon) -> zonal coeffs (..., nlat, mx) complex."""
+        if self.zonal == "dft":
+            return jnp.einsum("...j,jm->...m", field.astype(self.dtype),
+                              self.dft_fwd)
         fm = jnp.fft.rfft(field.astype(self.dtype), axis=-1)
         return (fm[..., : self.geom.mx] / self.geom.nlon).astype(self.cdtype)
 
     def _gridx(self, fm: jnp.ndarray, kcos: int) -> jnp.ndarray:
         """Zonal coeffs (..., nlat, mx) -> grid (..., nlat, nlon)."""
-        nfreq = self.geom.nlon // 2 + 1
-        pad = nfreq - self.geom.mx
-        fmp = jnp.pad(fm, [(0, 0)] * (fm.ndim - 1) + [(0, pad)])
-        g = jnp.fft.irfft(fmp, n=self.geom.nlon, axis=-1) * self.geom.nlon
-        g = g.astype(self.dtype)
+        if self.zonal == "dft":
+            g = jnp.einsum("...m,mj->...j", fm, self.dft_inv).real
+            g = g.astype(self.dtype)
+        else:
+            nfreq = self.geom.nlon // 2 + 1
+            pad = nfreq - self.geom.mx
+            fmp = jnp.pad(fm, [(0, 0)] * (fm.ndim - 1) + [(0, pad)])
+            g = jnp.fft.irfft(fmp, n=self.geom.nlon, axis=-1) * self.geom.nlon
+            g = g.astype(self.dtype)
         if kcos != 1:
             g = g * self.cosgr[:, None]
         return g

@@ -69,11 +69,13 @@ class DycoreModel:
                  nsteps_day: int = 96,
                  alph: float = 0.5,
                  rob: float = 0.05,
-                 wil: float = 0.53):
+                 wil: float = 0.53,
+                 zonal: str = "fft"):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
-        self.sht = SpectralTransform(geom, radius=constants.rearth, dtype=dtype)
+        self.sht = SpectralTransform(geom, radius=constants.rearth, dtype=dtype,
+                                     zonal=zonal)
         self.cdtype = self.sht.cdtype
         self.nsteps_day = nsteps_day
         self.delt = 86400.0 / nsteps_day

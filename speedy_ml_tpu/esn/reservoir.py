@@ -255,7 +255,8 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
     # structure generator draws from key [seed, n_regions] — disjoint from
     # the per-region VALUE keys [seed, 0..n_regions-1] — so the topology
     # never reuses region 0's random stream.
-    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    # jitted: the tunneled-TPU backend has no eager kernels
+    seed = int(jax.jit(lambda k: jax.random.randint(k, (), 0, 2**31 - 1))(key))
     struct_key = [seed, n_regions]
     shifts = None
     if topology == "shift":
@@ -271,11 +272,12 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
         if leftover:
             off = rng.permutation(n)[leftover:]
             mask[off, J - 1] = 0.0
-        vals_np = np.zeros((n_regions, n, J), dtype=np.float64)
-        for r in range(n_regions):
-            rr = np.random.Generator(np.random.Philox(key=[seed, r]))
-            vals_np[r] = rr.uniform(size=(n, J)) * mask
-        vals = jnp.asarray(vals_np.transpose(2, 0, 1), dtype=dtype)
+        # values drawn ON DEVICE in one fused op (the per-region host
+        # Philox loop costs minutes at 1,152 x n=5760); per-region
+        # independence comes from the batched counter-based PRNG
+        vals = (jax.random.uniform(
+            jax.random.fold_in(key, 3), (J, n_regions, n), dtype=dtype)
+            * jnp.asarray(mask.T[:, None, :], dtype=dtype))
     elif shared_pattern:
         rng = np.random.Generator(np.random.Philox(key=struct_key))
         c, m = _ell_from_perms(rng, n, k, J)

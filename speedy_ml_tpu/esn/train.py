@@ -68,6 +68,31 @@ def apply_noise(key, u: jnp.ndarray, noise_mag: float,
     return noisy.at[:, p0:p1].set(temp)
 
 
+def apply_noise_keys(keys, u: jnp.ndarray, noise_mag: float,
+                     precip_slice: Optional[tuple] = None,
+                     precip_mean: Optional[jnp.ndarray] = None,
+                     precip_std: Optional[jnp.ndarray] = None,
+                     precip_eps: float = 0.001) -> jnp.ndarray:
+    """apply_noise with one PRNG key PER REGION (keys (R,), u (R, I)).
+
+    Keyed by (time index, global region id) upstream, so the draw for a
+    given (t, region) is independent of how regions/time are chunked —
+    the invariance anchor of the production trainer."""
+    g = jax.vmap(lambda k, row: jax.random.normal(k, row.shape, row.dtype)
+                 )(keys, u)
+    noisy = u + g * noise_mag * u
+    if precip_slice is None:
+        return noisy
+    p0, p1 = precip_slice
+    temp = u[:, p0:p1] * precip_std + precip_mean
+    temp = precip_eps * (jnp.exp(temp) - 1.0)
+    temp = temp + g[:, p0:p1] * noise_mag
+    temp = jnp.abs(temp)
+    temp = jnp.log(1.0 + temp / precip_eps)
+    temp = (temp - precip_mean) / precip_std
+    return noisy.at[:, p0:p1].set(temp)
+
+
 def accumulate_batches(res: BatchedReservoir, hyper: ESNHyper,
                        train_in: jnp.ndarray, target: jnp.ndarray,
                        model_in: Optional[jnp.ndarray],

@@ -78,12 +78,12 @@ class GCM:
                  constants: PhysicalConstants = PhysicalConstants(),
                  dtype=jnp.float32, bc_path: Optional[str] = None,
                  nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
-                 sppt_on: bool = False):
+                 sppt_on: bool = False, zonal: str = "fft"):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
         self.dyn = DycoreModel(geom, constants, dtype=dtype,
-                               nsteps_day=nsteps_day)
+                               nsteps_day=nsteps_day, zonal=zonal)
         self.sht = self.dyn.sht
         self.phys = PhysicsModel(geom, constants, dtype=dtype)
         if sppt_on:
@@ -101,6 +101,22 @@ class GCM:
         with jax.default_device(jax.devices("cpu")[0]):
             self.phis = np.asarray(self.sht.trunct(
                 self.sht.grid_to_spec(jnp.asarray(self.bd.orog))))
+
+    def set_mesh(self, mesh, axis: str = "regions"):
+        """Distribute the GCM's grid-space physics over `mesh` by pinning
+        a latitude sharding at physics entry (with_sharding_constraint).
+        The spectral dynamics stay replicated (T30 spectral work is tiny);
+        the column physics — the FLOP-heavy part — sharding propagates
+        through XLA, replacing the per-device SPEEDY replication."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        lat2 = NamedSharding(mesh, P(axis, None))
+        lat3 = NamedSharding(mesh, P(None, axis, None))
+
+        def constrain(a):
+            s = lat2 if a.ndim == 2 else lat3
+            return jax.lax.with_sharding_constraint(a, s)
+
+        self.phys.constrain = constrain
 
     # ------------------------------------------------------------------
 
@@ -187,7 +203,9 @@ class GCM:
             hflux_l=fx.hflux_l + diag.hflux_l * rsteps,
             hflux_s=fx.hflux_s + diag.hflux_s * rsteps,
             hflux_i=fx.hflux_i + diag.hflux_i * rsteps,
-            precip=fx.precip + (diag.precnv + diag.precls) * self.dyn.delt2 / 2.0)
+            precip=fx.precip + ((diag.precnv + diag.precls)
+                                * self.dyn.delt2 / 2.0
+                                ).astype(fx.precip.dtype))
         return GCMState(spectral=spec, sfc=gstate.sfc, radiation=carry,
                         fluxes=fluxes, istep=gstate.istep + 1,
                         sppt_spec=sppt_spec, sppt_key=sppt_key)

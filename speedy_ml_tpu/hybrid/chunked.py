@@ -30,7 +30,6 @@ absolute sample indices).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 
@@ -43,11 +42,9 @@ from speedy_ml_tpu.esn.reservoir import (BatchedReservoir, ESNHyper, esn_step,
                                          generate, quad_expand, radius_by_lat)
 from speedy_ml_tpu.esn.standardize import (Standardizer, component_expansion,
                                            compute_standardizer, n_components)
-from speedy_ml_tpu.esn.train import NormalEq, apply_noise, solve_wout
+from speedy_ml_tpu.esn.train import NormalEq, apply_noise_keys, solve_wout
 from speedy_ml_tpu.hybrid.model import ClassPack
-from speedy_ml_tpu.hybrid.training import (log_precip_transform, NVAR,
-                                           pack_class_model_series,
-                                           pack_class_series)
+from speedy_ml_tpu.hybrid.training import NVAR
 
 
 class ArraySource:
@@ -122,6 +119,32 @@ class ERASource:
 
 
 # ----------------------------------------------------------------------
+# gather-based packing (chunk-friendly: one XLA gather per field, cost
+# and compile time proportional to the requested region subset — the
+# roll-based class_patches pack unrolls 16 window offsets and costs
+# minutes of XLA compile at T30 chunk shapes)
+# ----------------------------------------------------------------------
+
+def gather_pack_inputs(chunk_truth: dict, iy, ix, precip_eps: float,
+                       dtype) -> jnp.ndarray:
+    """Pack input vectors (C, R, I) for regions given window index
+    tables iy (R, yi) / ix (R, xi), in the reference packing order
+    (atmo z,y,x,v-flattened; then logp/precip/sst/tisr)."""
+    ap = RegionLayout.gather_patches(chunk_truth["atmo"], iy, ix)
+    # (R, C, V, K, yi, xi) -> (C, R, K, yi, xi, V) -> flatten
+    ap = jnp.transpose(ap, (1, 0, 3, 4, 5, 2))
+    C, R = ap.shape[0], ap.shape[1]
+    parts = [ap.reshape(C, R, -1)]
+    for name in ("logp", "precip", "sst", "tisr"):
+        f = chunk_truth[name]
+        if name == "precip":
+            f = jnp.log(1.0 + jnp.maximum(f, 0.0) / precip_eps)
+        p = RegionLayout.gather_patches(f, iy, ix)      # (R, C, yi, xi)
+        parts.append(jnp.moveaxis(p, 0, 1).reshape(C, R, -1))
+    return jnp.concatenate(parts, axis=2).astype(dtype)
+
+
+# ----------------------------------------------------------------------
 # streaming standardizer
 # ----------------------------------------------------------------------
 
@@ -141,11 +164,12 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
     onehot_np = np.zeros((len(comp_in), nc), dtype=np.float64)
     onehot_np[np.arange(len(comp_in)), comp_in] = 1.0
     onehot = jnp.asarray(onehot_np, dtype=dtype)
+    iy = jnp.asarray(cls.iy_in)
+    ix = jnp.asarray(cls.ix_in)
 
     @jax.jit
     def acc(chunk, s1, s2, cnt):
-        series = pack_class_series(layout, cls, chunk, precip_eps
-                                   ).astype(dtype)
+        series = gather_pack_inputs(chunk, iy, ix, precip_eps, dtype)
         s1 = s1 + jnp.einsum("tri,ic->rc", series, onehot)
         s2 = s2 + jnp.einsum("tri,ic->rc", series * series, onehot)
         cnt = cnt + onehot.sum(axis=0) * series.shape[0]
@@ -278,35 +302,43 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                            std=std.comp_std[:, pm_idx:pm_idx + 1],
                            eps=precip_eps)
 
-    # jitted prep: pack + standardize one time chunk for the FULL class
-    # (packing is rolls over small global grids — cheap next to the
-    # recurrence), plus target extraction, model standardization, and
-    # training-noise injection (targets stay clean; noise is drawn at
-    # full-class shape keyed by absolute sample index, so results are
-    # independent of both region and time chunking)
+    # jitted prep: pack + standardize one time chunk for the CURRENT
+    # region chunk only, via index gathers (cost scales with the subset,
+    # not the class — the full-class roll-based pack costs ~0.5 s per
+    # call and dominated the streamed trainer).  Training noise (targets
+    # stay clean) is keyed by (sub-series key, time index, GLOBAL region
+    # id), so every draw is independent of region/time chunking.
     @jax.jit
-    def prep(chunk_truth, chunk_model, keys):
-        series = pack_class_series(layout, cls, chunk_truth, precip_eps
-                                   ).astype(dtype)
-        z = std.standardize_input(series)
-        C = z.shape[0]
+    def prep(chunk_truth, chunk_model, sub_key, t_idx, rid,
+             iy, ix, iyc, ixc, in_mean, in_std, out_mean, out_std,
+             pmean, pstd):
+        series = gather_pack_inputs(chunk_truth, iy, ix, precip_eps, dtype)
+        C, Rch = series.shape[0], series.shape[1]
+        z = (series - in_mean) / in_std
         target = layout.input_to_target(
-            cls, z.reshape(C * Rc, -1), NVAR, nz, nz, 0,
-            logp=True, precip=True, sst=True, tisr=True).reshape(C, Rc, -1)
-        if keys is not None:
-            def add_noise(k, u):
-                if precip_info is None:
-                    return apply_noise(k, u, hyper.noise_mag)
-                return apply_noise(k, u, hyper.noise_mag,
-                                   precip_slice=precip_info["slice"],
-                                   precip_mean=precip_info["mean"],
-                                   precip_std=precip_info["std"],
-                                   precip_eps=precip_eps)
+            cls, z.reshape(C * Rch, -1), NVAR, nz, nz, 0,
+            logp=True, precip=True, sst=True, tisr=True).reshape(C, Rch, -1)
+        if sub_key is not None:
+            keys = jax.vmap(lambda t: jax.vmap(
+                lambda r: jax.random.fold_in(
+                    jax.random.fold_in(sub_key, t), r))(rid))(t_idx)
+            def add_noise(kr, u):
+                if pmean is None:
+                    return apply_noise_keys(kr, u, hyper.noise_mag)
+                return apply_noise_keys(kr, u, hyper.noise_mag,
+                                        precip_slice=lay_in.precip,
+                                        precip_mean=pmean, precip_std=pstd,
+                                        precip_eps=precip_eps)
             z = jax.vmap(add_noise)(keys, z)
         if chunk_model is None:
             return z, target, None
-        mser = pack_class_model_series(layout, cls, chunk_model).astype(dtype)
-        zm = (mser - std.out_mean[None, :, :S]) / std.out_std[None, :, :S]
+        mc = RegionLayout.gather_patches(chunk_model["atmo"], iyc, ixc)
+        mc = jnp.transpose(mc, (1, 0, 3, 4, 5, 2))
+        mparts = [mc.reshape(C, Rch, -1)]
+        lp = RegionLayout.gather_patches(chunk_model["logp"], iyc, ixc)
+        mparts.append(jnp.moveaxis(lp, 0, 1).reshape(C, Rch, -1))
+        mser = jnp.concatenate(mparts, axis=2).astype(dtype)
+        zm = (mser - out_mean[None, :, :S]) / out_std[None, :, :S]
         return z, target, zm
 
     eq_dtype = jnp.float32 if dtype == jnp.float32 else dtype
@@ -315,12 +347,24 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
     # share one compilation (the ragged tail chunk adds one more)
     advance, accumulate = _chunk_accumulators(hyper, shifts,
                                               std.in_mean.shape[1])
+    solve = jax.jit(solve_wout, static_argnums=(1, 2))
 
     for r0 in range(0, Rc, region_chunk):
         r1 = min(r0 + region_chunk, Rc)
         Rch = r1 - r0
         vals_ch = vals[:, r0:r1]
         win_ch = win[r0:r1]
+        iy = jnp.asarray(cls.iy_in[r0:r1])
+        ix = jnp.asarray(cls.ix_in[r0:r1])
+        iyc = jnp.asarray(cls.iy_core[r0:r1])
+        ixc = jnp.asarray(cls.ix_core[r0:r1])
+        rid = jnp.asarray(cls.region_ids[r0:r1], dtype=jnp.int32)
+        in_mean, in_std = std.in_mean[r0:r1], std.in_std[r0:r1]
+        out_mean, out_std = std.out_mean[r0:r1], std.out_std[r0:r1]
+        pmean = pstd = None
+        if precip_info is not None:
+            pmean = precip_info["mean"][r0:r1]
+            pstd = precip_info["std"][r0:r1]
         A = S + n
         ss = jnp.zeros((Rch, A, A), dtype=eq_dtype)
         st = jnp.zeros((Rch, O, A), dtype=eq_dtype)
@@ -343,15 +387,10 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                 model = source.model_at(idx) if hybrid else None
                 model = (None if model is None else
                          {k: jnp.asarray(v) for k, v in model.items()})
-                keys = None
-                if noise_on:
-                    keys = jax.vmap(
-                        lambda i: jax.random.fold_in(sub_key, i))(
-                            jnp.arange(c0, c1))
-                z, target, zm = prep(truth, model, keys)
-                z = z[:, r0:r1]
-                target = target[:, r0:r1]
-                zm = None if zm is None else zm[:, r0:r1]
+                z, target, zm = prep(
+                    truth, model, sub_key, jnp.arange(c0, c1), rid,
+                    iy, ix, iyc, ixc, in_mean, in_std, out_mean, out_std,
+                    pmean, pstd)
                 if c1 <= n_discard:
                     x = advance(vals_ch, win_ch, x, z)
                 elif c0 >= n_discard:
@@ -367,8 +406,8 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                 if progress is not None:
                     progress(r0, s, pos)
 
-        wout_ch = solve_wout(NormalEq(ss=ss, st=st), hyper,
-                             n_speedy=S if hybrid else 0)
+        wout_ch = solve(NormalEq(ss=ss, st=st), hyper,
+                        S if hybrid else 0)
         wout_parts.append(np.asarray(wout_ch))
         del ss, st
 

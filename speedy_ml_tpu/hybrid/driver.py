@@ -19,34 +19,45 @@ from speedy_ml_tpu.data.calendar import ModelDate
 
 
 class PredictionWriter:
-    """Streaming 6-hourly output (atmo/logp/precip/sst) to an .npz series.
+    """Streaming 6-hourly output to an .npz series.
 
     Buffers in host memory and flushes in chunks; one file per run like
-    the reference's hybrid_prediction_era...nc."""
+    the reference's hybrid_prediction_era...nc.  Base streams are
+    atmo/logp/precip/sst; any further diag keys present are written too:
+    vp_*/vml_* component contributions (mpires.f90:1114-1514) when
+    `hyb.emit_components` is on, and truth_* fields when run_prediction
+    gets a truth provider (write_truth_data, mpires.f90:918-1112)."""
+
+    BASE = ("atmo", "logp", "precip", "sst")
 
     def __init__(self, path: str, flush_every: int = 64):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.buf = {k: [] for k in ("atmo", "logp", "precip", "sst")}
+        self.buf: dict = {}
         self.flush_every = flush_every
         self.chunks = 0
+        self._keys = None
 
     def append(self, diag: dict, sst_grid):
-        self.buf["atmo"].append(np.asarray(diag["atmo"], dtype=np.float32))
-        self.buf["logp"].append(np.asarray(diag["logp"], dtype=np.float32))
-        self.buf["precip"].append(np.asarray(diag["precip"], dtype=np.float32))
-        self.buf["sst"].append(np.asarray(sst_grid, dtype=np.float32))
-        if len(self.buf["atmo"]) >= self.flush_every:
+        rec = {k: diag[k] for k in diag
+               if k in self.BASE or k.startswith(("vp_", "vml_", "truth_"))}
+        rec["sst"] = sst_grid
+        if self._keys is None:
+            self._keys = sorted(rec)
+            self.buf = {k: [] for k in self._keys}
+        for k in self._keys:
+            self.buf[k].append(np.asarray(rec[k], dtype=np.float32))
+        if len(self.buf[self._keys[0]]) >= self.flush_every:
             self.flush()
 
     def flush(self):
-        if not self.buf["atmo"]:
+        if self._keys is None or not self.buf[self._keys[0]]:
             return
         out = {k: np.stack(v) for k, v in self.buf.items()}
         np.savez_compressed(self.path.with_suffix(f".part{self.chunks}.npz"),
                             **out)
         self.chunks += 1
-        self.buf = {k: [] for k in self.buf}
+        self.buf = {k: [] for k in self._keys}
 
     def consolidate(self):
         """Merge all parts into one file."""
@@ -56,7 +67,7 @@ class PredictionWriter:
         if not parts:
             return
         merged = {}
-        for k in ("atmo", "logp", "precip", "sst"):
+        for k in np.load(parts[0]).files:
             merged[k] = np.concatenate([np.load(p)[k] for p in parts])
         np.savez_compressed(self.path.with_suffix(".npz"), **merged)
         for p in parts:
@@ -67,14 +78,18 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                    output_path: str | None = None,
                    stop_if_unsafe: bool = True,
                    timestep_hours: int = 6,
-                   sst_bias_per_year: float = 0.0):
+                   sst_bias_per_year: float = 0.0,
+                   truth_provider=None):
     """Run `n_cycles` hybrid 6-h cycles from `hstate`.
 
     Returns (final state, list of dates).  Stops early if the SPEEDY
     safety gate trips (parallelmain.f90:268-270).  sst_bias_per_year:
     non-stationary-climate SST ramp (K/year) applied to climatological
     SST over open water (mod_utilities.f90:1806-1823 ramp +
-    current_sst_bias of get_sst_by_date)."""
+    current_sst_bias of get_sst_by_date).  truth_provider: optional
+    callable cycle_index -> dict of truth grids, written alongside the
+    prediction for the verification workflow (write_truth_data,
+    mpires.f90:918-1112)."""
     from speedy_ml_tpu.data.calendar import hour_of_year_365
 
     writer = PredictionWriter(output_path) if output_path else None
@@ -103,6 +118,9 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
         dates.append(date)
         date = date.advance_hours(timestep_hours)
         if writer:
+            if truth_provider is not None:
+                tr = truth_provider(i)
+                diag = dict(diag, **{f"truth_{k}": v for k, v in tr.items()})
             writer.append(diag, hstate.sst_grid)
     if writer:
         writer.consolidate()

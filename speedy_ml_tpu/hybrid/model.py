@@ -137,6 +137,10 @@ class HybridAtmosphere:
         self.tisr_table = None
         self.tisr_hours_per_entry = 1
         self.sst_table = None
+        # emit v_p/v_ml readout contributions in the cycle diagnostics
+        # (outvec_component_contribs; v_p/v_ml streams of
+        # mpires.f90:1114-1514).  Static: toggling retraces the cycle.
+        self.emit_components = False
         g = gcm.geom
         self.nz = g.nlev
         # steps of the GCM inside one hybrid window
@@ -266,40 +270,46 @@ class HybridAtmosphere:
                   for op, (r, m, s) in zip(self.ocean_packs or (), ocean_p)]
         return packs, opacks
 
-    def predict_all(self, packs, hstate: HybridState):
+    def predict_all(self, packs, hstate: HybridState,
+                    components: bool = False):
         """ESN step + readout for every region (predict/predict_ml,
-        mod_reservoir.f90:1416-1533).  Returns (new xs, physical outvecs)."""
+        mod_reservoir.f90:1416-1533).  Returns (new xs, physical outvecs
+        [, list of standardized (v_p, v_ml) contribution pairs]).
+
+        components=True also splits the readout into the SPEEDY (v_p) and
+        reservoir (v_ml) contributions without re-running the ESN step
+        (outvec_component_contribs, mod_reservoir.f90:1456-1467)."""
+        from speedy_ml_tpu.esn.reservoir import quad_expand
         new_x = []
         outvecs = []
+        contribs = []
         for p, cs in zip(packs, hstate.classes):
             x = esn_step(p.res, cs.x, cs.feedback, p.hyper.leakage)
             lm = None if self.ml_only else cs.local_model
-            out = readout(p.res, x, lm)
+            if components:
+                xt = quad_expand(x)
+                S = p.res.n_speedy
+                v_ml = jnp.einsum("roa,ra->ro", p.res.wout[:, :, S:], xt)
+                if lm is not None:
+                    v_p = jnp.einsum("roa,ra->ro", p.res.wout[:, :, :S], lm)
+                    out = v_p + v_ml
+                else:
+                    v_p = jnp.zeros_like(v_ml)
+                    out = v_ml
+                contribs.append((v_p, v_ml))
+            else:
+                out = readout(p.res, x, lm)
             outvecs.append(p.std.unstandardize_output(out))
             new_x.append(x)
+        if components:
+            return new_x, outvecs, contribs
         return new_x, outvecs
 
-    def predict_components(self, packs, hstate: HybridState):
-        """Per-class SPEEDY (v_p) and ML (v_ml) readout contributions
-        (outvec_component_contribs, predict at mod_reservoir.f90:1456-1467;
-        output streams v_p/v_ml of mpires.f90:1114-1514).
-
-        Returns list of (v_p, v_ml) standardized pairs per class."""
-        from speedy_ml_tpu.esn.reservoir import quad_expand
-        out = []
-        for p, cs in zip(packs, hstate.classes):
-            x = esn_step(p.res, cs.x, cs.feedback, p.hyper.leakage)
-            xt = quad_expand(x)
-            S = p.res.n_speedy
-            v_p = jnp.einsum("roa,ra->ro", p.res.wout[:, :, :S],
-                             cs.local_model) if S else None
-            v_ml = jnp.einsum("roa,ra->ro", p.res.wout[:, :, S:], xt)
-            out.append((v_p, v_ml))
-        return out
-
-    def assemble_global(self, packs, outvecs):
+    def assemble_global(self, packs, outvecs, clamp: bool = True):
         """Scatter region outputs into global grids + clamps
         (tile_full_grid_with_local_state_vec_res + mpires.f90:444-478).
+        clamp=False skips the physical q/precip clamps (used for the raw
+        v_p/v_ml contribution grids, which are standardized deltas).
 
         With vertical localization each pack writes only its core sigma
         band; logp/precip come from the bottom groups."""
@@ -321,8 +331,9 @@ class HybridAtmosphere:
                 logp = self.layout.scatter_core(p.cls, parts["logp"], logp)
                 precip = self.layout.scatter_core(p.cls, parts["precip"],
                                                   precip)
-        atmo = atmo.at[3].set(jnp.maximum(atmo[3], 1e-6))   # q clamp
-        precip = jnp.where(precip < 1e-5, 0.0, precip)
+        if clamp:
+            atmo = atmo.at[3].set(jnp.maximum(atmo[3], 1e-6))   # q clamp
+            precip = jnp.where(precip < 1e-5, 0.0, precip)
         return atmo, logp, precip
 
     def inject_to_speedy(self, atmo, logp):
@@ -480,7 +491,12 @@ class HybridAtmosphere:
             hstate = dataclasses.replace(
                 hstate, sst_grid=self.sst_by_date(hour_of_year, sst_bias))
 
-        new_x, outvecs = self.predict_all(packs, hstate)
+        contribs = None
+        if self.emit_components:
+            new_x, outvecs, contribs = self.predict_all(packs, hstate,
+                                                        components=True)
+        else:
+            new_x, outvecs = self.predict_all(packs, hstate)
         atmo, logp, precip = self.assemble_global(packs, outvecs)
 
         if self.ml_only:
@@ -556,6 +572,15 @@ class HybridAtmosphere:
                                 step=hstate.step + 1, ocean=new_ocean)
         diag = dict(atmo=atmo, logp=logp, precip=precip,
                     speedy_atmo=fc_atmo, speedy_logp=fc_logp)
+        if contribs is not None:
+            # assemble the standardized v_p/v_ml readout contributions
+            # into global grids (the reference's v_p/v_ml NetCDF streams)
+            vp_a, vp_l, vp_p = self.assemble_global(
+                packs, [c[0] for c in contribs], clamp=False)
+            vml_a, vml_l, vml_p = self.assemble_global(
+                packs, [c[1] for c in contribs], clamp=False)
+            diag.update(vp_atmo=vp_a, vp_logp=vp_l, vp_precip=vp_p,
+                        vml_atmo=vml_a, vml_logp=vml_l, vml_precip=vml_p)
         return new_state, diag
 
     def cycle(self, hstate: HybridState, imon, fmon, tyear,

@@ -350,14 +350,15 @@ def generate_nature_run(gcm, date0, n_samples: int, timestep_hours: int = 6,
 
 
 def _tisr(gcm, tyear):
+    """Analytic daily-mean TISR on host (numpy): pure table math, no
+    device round trip."""
     from speedy_ml_tpu.physics.constants import SOLC
-    from speedy_ml_tpu.physics.radiation import solar_flux_traced
+    from speedy_ml_tpu.physics.radiation import solar_flux
     g = gcm.geom
-    row = solar_flux_traced(jnp.asarray(tyear, dtype=gcm.dtype),
-                            jnp.asarray(g.sin_lat, dtype=gcm.dtype),
-                            jnp.asarray(g.cos_lat, dtype=gcm.dtype),
-                            4.0 * SOLC)
-    return jnp.broadcast_to(row[:, None], (g.nlat, g.nlon))
+    row = solar_flux(float(tyear), 4.0 * SOLC, np.asarray(g.sin_lat),
+                     np.asarray(g.cos_lat))
+    return np.broadcast_to(np.asarray(row, dtype=np.float32)[:, None],
+                           (g.nlat, g.nlon)).copy()
 
 
 def make_imperfect_forecasts(hyb_gcm, truth: dict, dates,

@@ -1,0 +1,158 @@
+"""Config-driven entry point: one typed RunConfig drives train + predict.
+
+The reference's single binary dispatches on trained_model
+(parallelmain.f90:71-272); configuration there is compile-time constants
++ sed rewriting (SURVEY 5).  Here:
+
+    python -m speedy_ml_tpu.main train   config.json
+    python -m speedy_ml_tpu.main predict config.json
+    python -m speedy_ml_tpu.main run     config.json   # train then predict
+
+Data comes from cfg.era_path (yearly ERA5 files) or, when absent, from a
+self-generated nature run (self-contained operation for development).
+Weights go to cfg.checkpoint_path; predictions stream to
+cfg.output_path.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speedy_ml_tpu.config import RunConfig
+from speedy_ml_tpu.data.calendar import ModelDate
+
+
+def build_source(cfg: RunConfig, gcm, n_samples: int, date0: ModelDate):
+    """SeriesSource for training: ERA5 files if configured, else a
+    nature run + imperfect 6-h forecasts (self-contained mode)."""
+    from speedy_ml_tpu.hybrid.chunked import ArraySource, ERASource
+
+    if cfg.era_path:
+        from speedy_ml_tpu.data.era import ERA5Reader
+        reader = ERA5Reader(cfg.era_path)
+        return ERASource(reader, date0.year, n_samples,
+                         sample_stride_hours=1)
+    from speedy_ml_tpu.hybrid.training import (generate_nature_run,
+                                               make_imperfect_forecasts)
+    truth, snaps, dates = generate_nature_run(
+        gcm, date0, n_samples, timestep_hours=cfg.timestep_hours)
+    model = None
+    if not cfg.ml_only:
+        model = make_imperfect_forecasts(gcm, truth, dates,
+                                         cfg.timestep_hours)
+    return ArraySource(truth, model)
+
+
+def train(cfg: RunConfig, source=None):
+    """Train all reservoirs per the config; save a native checkpoint."""
+    from speedy_ml_tpu.data.checkpoint import save_hybrid
+    from speedy_ml_tpu.hybrid.chunked import train_hybrid_production
+
+    gcm = cfg.build_gcm()
+    layout = cfg.build_layout()
+    date0 = ModelDate(1990, 1, 1)
+    stride = cfg.n_subseries or 1
+    n_samples = cfg.training_hours // cfg.timestep_hours * stride
+    if source is None:
+        source = build_source(cfg, gcm, n_samples, date0)
+    if cfg.num_vert_levels > 1:
+        # vertical localization trains through the in-memory path
+        from speedy_ml_tpu.hybrid.training import train_hybrid
+        idx = np.arange(source.n_samples)
+        truth = source.truth_at(idx)
+        model = source.model_at(idx)
+        hyb = train_hybrid(gcm, layout, truth, model, cfg.atmo,
+                           jax.random.key(cfg.seed),
+                           num_vert_levels=cfg.num_vert_levels,
+                           vert_overlap=cfg.vert_overlap,
+                           dtype=jnp.dtype(cfg.dtype),
+                           topology=cfg.topology,
+                           precip_eps=cfg.precip_epsilon)
+    else:
+        hyb = train_hybrid_production(
+            gcm, layout, source, cfg.atmo, jax.random.key(cfg.seed),
+            ocean=cfg.slab_ocean, ocean_hyper=cfg.ocean,
+            hybrid=not cfg.ml_only, stride=stride,
+            n_discard=max(1, cfg.discard_hours // cfg.timestep_hours),
+            precip_eps=cfg.precip_epsilon, dtype=jnp.dtype(cfg.dtype),
+            topology=cfg.topology)
+    save_hybrid(hyb, cfg.checkpoint_path)
+    print(f"trained {len(hyb.packs)} class packs -> {cfg.checkpoint_path}")
+    return hyb
+
+
+def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
+            start_date: ModelDate | None = None):
+    """Load weights (if needed), synchronize, run the prediction loop."""
+    from speedy_ml_tpu.data.checkpoint import load_hybrid
+    from speedy_ml_tpu.hybrid.driver import run_prediction
+
+    gcm = hyb.gcm if hyb is not None else cfg.build_gcm()
+    layout = hyb.layout if hyb is not None else cfg.build_layout()
+    if hyb is None:
+        import glob
+        import os
+        workers = glob.glob(os.path.join(cfg.checkpoint_path,
+                                         "worker_*_level_*.nc"))
+        if workers:
+            # reference-format trained weights (the Zenodo artifact
+            # layout; parallelmain.f90:142-199 load path)
+            from speedy_ml_tpu.data.reference_import import (
+                import_reference_weights, read_reference_worker)
+            trial = "_".join(os.path.basename(workers[0]).split("_")[4:]
+                             )[:-3]
+            from speedy_ml_tpu.data.reference_import import worker_path
+            reader = lambda r: read_reference_worker(
+                worker_path(cfg.checkpoint_path, r, trial))
+            hyb = import_reference_weights(gcm, layout, gcm.geom.nlev,
+                                           reader, hyper=cfg.atmo,
+                                           dtype=jnp.dtype(cfg.dtype),
+                                           ml_only=cfg.ml_only)
+        else:
+            hyb = load_hybrid(gcm, layout, cfg.checkpoint_path,
+                              dtype=jnp.dtype(cfg.dtype))
+    start_date = start_date or ModelDate(1990, 1, 1)
+    if sync_truth is None:
+        # self-contained: synchronize on a fresh nature-run window
+        from speedy_ml_tpu.hybrid.training import generate_nature_run
+        n_sync = max(2, cfg.sync_hours // cfg.timestep_hours)
+        sync_truth, _, dates = generate_nature_run(
+            gcm, start_date, n_sync, timestep_hours=cfg.timestep_hours)
+        start_date = dates[-1]
+        if not cfg.ml_only:
+            model_next = dict(atmo=sync_truth["atmo"][-1],
+                              logp=sync_truth["logp"][-1])
+    hstate = hyb.start_prediction(
+        {k: v[:-1] for k, v in sync_truth.items()}, model_next,
+        sync_truth["sst"][-1])
+    n_cycles = cfg.prediction_hours // cfg.timestep_hours
+    out = f"{cfg.output_path}/prediction"
+    hstate, dates = run_prediction(
+        hyb, hstate, start_date, n_cycles, output_path=out,
+        timestep_hours=cfg.timestep_hours,
+        sst_bias_per_year=cfg.sst_bias)
+    print(f"{len(dates)} cycles -> {out}.npz (safe={bool(hstate.safe)})")
+    return hstate, dates
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2 or argv[0] not in ("train", "predict", "run"):
+        print(__doc__)
+        return 2
+    mode, cfg_path = argv
+    cfg = RunConfig.load(cfg_path)
+    hyb = None
+    if mode in ("train", "run"):
+        hyb = train(cfg)
+    if mode in ("predict", "run"):
+        predict(cfg, hyb=hyb if mode == "run" else None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,9 +26,16 @@ def read_boundary_records(path: str | Path, offset: int, nlon: int, nlat: int
                           ) -> np.ndarray:
     """Read one (nlat, nlon) field at record-group `offset`; south->north rows."""
     count = nlat * nlon
+    size = Path(path).stat().st_size
+    if size % (count * 4):
+        raise ValueError(
+            f"{path}: size {size} is not a multiple of {nlat}x{nlon} "
+            "records — boundary file resolution does not match the grid")
     with open(path, "rb") as f:
         f.seek(offset * count * 4)
         raw = np.fromfile(f, dtype="<f4", count=count)
+    if raw.size < count:
+        raise ValueError(f"{path}: record {offset} out of range")
     field = raw.reshape(nlat, nlon)[::-1].astype(np.float64)  # file is N->S
     field[field <= -999] = 0.0
     return field

@@ -88,6 +88,12 @@ class PhysicsModel:
         # None = RDF disabled (the reference default: nstrdf=0)
         self.randfh = None if randfh is None else np.asarray(randfh,
                                                              dtype=self.dtype)
+        # optional sharding constraint applied to grid fields at physics
+        # entry (set via GCM.set_mesh): pins the column physics — the
+        # embarrassingly lat/lon-parallel part of the GCM — to a
+        # lat-sharded layout so XLA distributes it over the mesh instead
+        # of replicating SPEEDY per device (SURVEY 2.3 GCM-parallelism gap)
+        self.constrain = None
 
         hsg = np.asarray(geom.half_sigma, dtype=np.float64)
         sig = 0.5 * (hsg[1:] + hsg[:-1])
@@ -173,6 +179,11 @@ class PhysicsModel:
         grdsig = self.grdsig
         grdscp = self.grdscp
 
+        if self.constrain is not None:
+            ug, vg, tg, qg, phig = map(self.constrain,
+                                       (ug, vg, tg, qg, phig))
+            pslg = self.constrain(pslg)
+
         psg = jnp.exp(pslg)
         rps = 1.0 / psg
         qg = jnp.maximum(qg, 0.0)
@@ -210,9 +221,14 @@ class PhysicsModel:
                 psg, qg, icltop, cloudc, clstr, qcloud, sol, forcing.albsfc,
                 sig=sig, dsig=dsig)
             tt_rsw = dfabs_sw * rps[None] * grdscp[:, None, None]
-            return RadiationCarry(tau2=tau2, stratc=stratc, tt_rsw=tt_rsw,
-                                  ssrd=ssrd, ssr=ssr, tsr=tsr,
-                                  randfv=carry.randfv)
+            # pin the carry dtype: solar-geometry tables can promote to
+            # f64 under jax_enable_x64 even in an f32 model
+            dt = carry.ssrd.dtype
+            return RadiationCarry(tau2=tau2.astype(carry.tau2.dtype),
+                                  stratc=stratc.astype(carry.stratc.dtype),
+                                  tt_rsw=tt_rsw.astype(carry.tt_rsw.dtype),
+                                  ssrd=ssrd.astype(dt), ssr=ssr.astype(dt),
+                                  tsr=tsr.astype(dt), randfv=carry.randfv)
 
         carry = jax.lax.cond(lradsw, do_sw, lambda _: carry, operand=None)
 
