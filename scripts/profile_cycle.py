@@ -72,7 +72,7 @@ def main():
 
     ms = timeit(lambda: hyb.speedy_window(spec, hstate.sst_grid, imon, fmon, tyear))
     print(f"speedy_window:   {ms:9.2f} ms")
-    fc_atmo, fc_logp = hyb.speedy_window(spec, hstate.sst_grid, imon, fmon, tyear)
+    fc_atmo, fc_logp, _ = hyb.speedy_window(spec, hstate.sst_grid, imon, fmon, tyear)
 
     f_fb = jax.jit(lambda prm, a, l, p, s, t: hyb.build_feedback(
         hyb._with_params(prm)[0], a, l, p, s, t))

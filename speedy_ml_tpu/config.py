@@ -64,6 +64,11 @@ class RunConfig:
     train_on_sst_anomalies: bool = False
     seed: int = 33                     # init_random_marker(33)
     sppt_on: bool = False              # mod_tsteps.f90:68
+    # persist slab land/ice anomalies across 6-h cycles with a daily
+    # coupler exchange (the reference's fluxes.grd semantics)
+    persist_surface: bool = False
+    # write v_p/v_ml readout-contribution streams (outvec_component_contribs)
+    emit_components: bool = False
     # reservoir graph family: "shift" (TPU-native ring ensemble) or
     # "random" (the reference's makesparse permutation graphs)
     topology: str = "shift"

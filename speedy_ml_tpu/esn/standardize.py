@@ -106,8 +106,10 @@ def compute_standardizer(series: jnp.ndarray, comp_map_in: np.ndarray,
     s1 = jnp.einsum("tri,ic->rc", series, onehot)
     s2 = jnp.einsum("tri,ic->rc", series * series, onehot)
     mean_c = s1 / count
-    var_c = jnp.maximum(s2 / count - mean_c**2, 1e-30)
-    std_c = jnp.sqrt(var_c)
+    var_c = s2 / count - mean_c**2
+    # constant components (frozen polar SST, dry-region precip) must
+    # standardize to ~0, not blow up through a ~0 std: unit std there
+    std_c = jnp.where(var_c < 1e-12, 1.0, jnp.sqrt(jnp.maximum(var_c, 0.0)))
     in_mean = mean_c[:, cm]
     in_std = std_c[:, cm]
     cmo = jnp.asarray(comp_map_out)

@@ -213,12 +213,21 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
         pv = hyper.prior_val * hyper.beta_model**2
         st = st.at[:, jnp.arange(k), jnp.arange(k)].add(pv)
 
-    # solve ss . Wout^T = st^T  (SPD -> cholesky)
+    # solve ss . Wout^T = st^T by LU with partial pivoting — the
+    # reference's exact solver (mldivide -> DGESV, mod_linalg.f90:109-151).
+    # LU stays finite on near-singular Grams (few samples vs n) where the
+    # TPU's f32 Cholesky produces NaN; Jacobi preconditioning (unit
+    # diagonal) further stabilizes f32 without changing the solution.
     def solve_one(ssr, str_):
-        cho = jax.scipy.linalg.cho_factor(ssr)
-        return jax.scipy.linalg.cho_solve(cho, str_.T).T
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(ssr), 1e-30))
+        ssn = ssr / d[:, None] / d[None, :]
+        z = jnp.linalg.solve(ssn, (str_ / d[None, :]).T)
+        return (z / d[:, None]).T
 
-    return jax.vmap(solve_one)(ss, st)
+    # sequential over regions (lax.map, not vmap): the TPU LU kernel's
+    # scoped VMEM scales with the batch and overflows at production
+    # A~6000 x 16 regions; the solve is a tiny fraction of training time
+    return jax.lax.map(lambda args: solve_one(*args), (ss, st))
 
 
 def train_subseries(res: BatchedReservoir, hyper: ESNHyper,

@@ -101,6 +101,22 @@ class GCM:
         with jax.default_device(jax.devices("cpu")[0]):
             self.phis = np.asarray(self.sht.trunct(
                 self.sht.grid_to_spec(jnp.asarray(self.bd.orog))))
+        # jitted host-API helpers: the tunneled single-TPU backend has no
+        # eager kernels, so every array-producing entry point must run
+        # as a compiled program (bd/sht/slab close over as constants)
+        self._forcing_jit = jax.jit(
+            lambda sfc, tyear: self.phys.daily_forcing(self.bd, sfc,
+                                                       tyear, self.sht))
+        self._sfc_jit = jax.jit(
+            lambda imon, fmon, sst_hybrid, sst_bias: init_surface_state(
+                self.bd, imon, fmon, sst_hybrid, sst_bias))
+        self._couple_jit = jax.jit(
+            lambda sfc, fluxes, imon, fmon: couple_daily(
+                sfc, self.slab, self.bd, fluxes, imon, fmon))
+
+    def forcing_for(self, sfc, tyear) -> "DailyForcing":
+        """Date-dependent forcing (fordate), jit-compiled."""
+        return self._forcing_jit(sfc, jnp.asarray(tyear, dtype=self.dtype))
 
     def set_mesh(self, mesh, axis: str = "regions"):
         """Distribute the GCM's grid-space physics over `mesh` by pinning
@@ -129,10 +145,12 @@ class GCM:
         g = self.geom
         imon = jnp.asarray(date.month - 1)
         fmon = jnp.asarray(date.tmonth, dtype=self.dtype)
-        sfc = init_surface_state(self.bd, imon, fmon, sst_hybrid, sst_bias)
+        sfc = self._sfc_jit(imon, fmon, sst_hybrid,
+                            jnp.asarray(sst_bias, dtype=self.dtype))
         if spectral is None:
             from speedy_ml_tpu.dycore.init import rest_state
-            spectral, _ = rest_state(self.dyn, self.bd.orog)
+            spectral = jax.jit(
+                lambda: rest_state(self.dyn, self.bd.orog)[0])()
         sppt_spec = sppt_key = None
         if self.sppt is not None:
             sppt_key, sub = jax.random.split(jax.random.PRNGKey(sppt_seed))
@@ -143,7 +161,7 @@ class GCM:
             fluxes=FluxAccumulator.zeros(g.nlat, g.nlon, self.dtype),
             istep=jnp.asarray(0, dtype=jnp.int32),
             sppt_spec=sppt_spec, sppt_key=sppt_key)
-        forcing = self.phys.daily_forcing(self.bd, sfc, date.tyear, self.sht)
+        forcing = self.forcing_for(sfc, date.tyear)
         return state, forcing
 
     # ------------------------------------------------------------------
@@ -210,6 +228,7 @@ class GCM:
                         fluxes=fluxes, istep=gstate.istep + 1,
                         sppt_spec=sppt_spec, sppt_key=sppt_key)
 
+    @functools.partial(jax.jit, static_argnums=0)
     def stepone(self, gstate: GCMState, forcing: DailyForcing) -> GCMState:
         """Cold-start double half-step with physics (ini_stepone.f90)."""
         lradsw = jnp.asarray(True)
@@ -238,8 +257,7 @@ class GCM:
                  stepone_first: bool = False) -> tuple[GCMState, ModelDate]:
         """agcm_main day loop: fordate + window + slab-coupler exchange."""
         for _ in range(ndays):
-            forcing = self.phys.daily_forcing(self.bd, gstate.sfc,
-                                              date.tyear, self.sht)
+            forcing = self.forcing_for(gstate.sfc, date.tyear)
             gstate = dataclasses.replace(
                 gstate, fluxes=FluxAccumulator.zeros(
                     self.geom.nlat, self.geom.nlon, self.dtype))
@@ -249,8 +267,8 @@ class GCM:
             gstate = self.run_window(gstate, forcing, self.nsteps_day)
             date = date.advance_day()
             # coupler exchange at day end (agcm_to_coupler/coupler_to_agcm)
-            sfc = couple_daily(
-                gstate.sfc, self.slab, self.bd,
+            sfc = self._couple_jit(
+                gstate.sfc,
                 dict(hflux_l=gstate.fluxes.hflux_l,
                      hflux_s=gstate.fluxes.hflux_s,
                      hflux_i=gstate.fluxes.hflux_i),

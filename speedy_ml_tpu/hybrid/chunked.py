@@ -187,8 +187,9 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
 
     cnt = jnp.maximum(cnt, 1.0)
     mean_c = s1 / cnt
-    var_c = jnp.maximum(s2 / cnt - mean_c**2, 1e-30)
-    std_c = jnp.sqrt(var_c)
+    var_c = s2 / cnt - mean_c**2
+    # constant components standardize to ~0, not through a ~0 std
+    std_c = jnp.where(var_c < 1e-12, 1.0, jnp.sqrt(jnp.maximum(var_c, 0.0)))
     cmo = jnp.asarray(comp_out)
     return Standardizer(comp_mean=mean_c, comp_std=std_c,
                         in_mean=mean_c[:, cm], in_std=std_c[:, cm],

@@ -56,6 +56,7 @@ def pack_class_series(layout: RegionLayout, cls, truth: dict,
     levels to the input window; non-bottom groups carry only TISR among
     the 2-D blocks (res_domain.f90:206-256 +
     mod_reservoir.f90:1790-1811).  None = full column (bottom)."""
+    truth = {k: jnp.asarray(v) for k, v in truth.items()}
     T = truth["atmo"].shape[0]
     bottom = zspec is None or zspec.bottom
     z_sl = slice(None) if zspec is None else slice(zspec.zi0, zspec.zi1)
@@ -76,6 +77,7 @@ def pack_class_model_series(layout: RegionLayout, cls, model: dict,
                             zspec=None):
     """Packed imperfect-model core series (T, Rc, S): atmo+logp only
     (logp only for the bottom vertical group)."""
+    model = {k: jnp.asarray(v) for k, v in model.items()}
     T = model["atmo"].shape[0]
     bottom = zspec is None or zspec.bottom
     z_sl = slice(None) if zspec is None else slice(zspec.z0, zspec.z1)
@@ -301,52 +303,69 @@ def generate_nature_run(gcm, date0, n_samples: int, timestep_hours: int = 6,
                         spinup_days: int = 5):
     """Run the GCM as truth, saving grids every `timestep_hours`.
 
-    Returns (truth dict, list of GCMState snapshots at each sample, dates).
-    The snapshots let make_imperfect_forecasts relaunch from truth."""
-    import dataclasses as dc
-    from speedy_ml_tpu.gcm import FluxAccumulator
-
+    Returns (truth dict of NUMPY arrays, list of GCMState snapshots at
+    each sample, dates).  The snapshots let make_imperfect_forecasts
+    relaunch from truth.  All device work is jitted and results are
+    pulled to host per sample — the tunneled-TPU backend executes jitted
+    programs only (no eager kernels), and host accumulation keeps long
+    runs out of HBM."""
     g = gcm.geom
     state, _ = gcm.init_state(date0)
     date = date0
     # spinup
-    forcing = gcm.phys.daily_forcing(gcm.bd, state.sfc, date.tyear, gcm.sht)
+    forcing = gcm.forcing_for(state.sfc, date.tyear)
     state = gcm.stepone(state, forcing)
     state, date = gcm.run_days(state, date, spinup_days)
 
     steps = gcm.nsteps_day * timestep_hours // 24
-    truth = dict(atmo=[], logp=[], precip=[], sst=[], tisr=[])
-    snaps, dates = [], []
-
-    from speedy_ml_tpu.hybrid.model import HybridAtmosphere
     sht = gcm.sht
-    for i in range(n_samples):
-        forcing = gcm.phys.daily_forcing(gcm.bd, state.sfc, date.tyear,
-                                         gcm.sht)
-        pre_precip = state.fluxes.precip
-        state = gcm.run_window(state, forcing, steps)
+    windows_per_day = 24 // timestep_hours
+
+    def extract(state, pre_precip):
         sp = state.spectral
         u, v = sht.uv_grid(sp.vor[0], sp.div[0])
-        truth["atmo"].append(jnp.stack([sht.spec_to_grid(sp.t[0]), u, v,
-                                        sht.spec_to_grid(sp.tr[0, 0])]))
-        truth["logp"].append(sht.spec_to_grid(sp.ps[0]))
-        # precip accumulated over the window, as a rate-like quantity
-        truth["precip"].append((state.fluxes.precip - pre_precip)
-                               / (timestep_hours * 3600.0))
-        truth["sst"].append(state.sfc.sst_am)
-        tis = jnp.broadcast_to(
-            jnp.asarray(np.zeros((g.nlat, 1)), dtype=gcm.dtype),
-            (g.nlat, g.nlon))
-        snaps.append(state)
-        dates.append(date)
-        date = date.advance_hours(timestep_hours)
+        atmo = jnp.stack([sht.spec_to_grid(sp.t[0]), u, v,
+                          sht.spec_to_grid(sp.tr[0, 0])])
+        logp = sht.spec_to_grid(sp.ps[0])
+        precip = (state.fluxes.precip - pre_precip) / (timestep_hours
+                                                       * 3600.0)
+        return atmo, logp, precip, state.sfc.sst_am
 
-    hyb = HybridAtmosphere.__new__(HybridAtmosphere)
-    hyb.gcm = gcm
-    truth["tisr"] = [np.asarray(
-        _tisr(gcm, d.tyear)) for d in dates]
-    return ({k: jnp.stack([jnp.asarray(v) for v in truth[k]])
-             for k in truth}, snaps, dates)
+    @jax.jit
+    def day_of_windows(state, forcing):
+        """One dispatch = one day of windows with stacked extracts —
+        amortizes the host<->device round trip that dominates long
+        nature runs on a tunneled device; one forcing per day matches
+        the reference's daily fordate."""
+        def body(s, _):
+            pre = s.fluxes.precip
+            s = gcm.run_window(s, forcing, steps)
+            return s, extract(s, pre)
+        state, outs = jax.lax.scan(body, state, None,
+                                   length=windows_per_day)
+        return state, outs
+
+    truth = dict(atmo=[], logp=[], precip=[], sst=[], tisr=[])
+    snaps, dates = [], []
+    done = 0
+    while done < n_samples:
+        forcing = gcm.forcing_for(state.sfc, date.tyear)
+        state, (atmo, logp, precip, sst) = day_of_windows(state, forcing)
+        take = min(windows_per_day, n_samples - done)
+        truth["atmo"].append(np.asarray(atmo)[:take])
+        truth["logp"].append(np.asarray(logp)[:take])
+        truth["precip"].append(np.asarray(precip)[:take])
+        truth["sst"].append(np.asarray(sst)[:take])
+        for w in range(take):
+            dates.append(date.advance_hours(w * timestep_hours))
+        snaps.append(state)
+        date = date.advance_hours(take * timestep_hours)
+        done += take
+
+    truth["tisr"] = [np.asarray(_tisr(gcm, d.tyear)) for d in dates]
+    truth = {k: (np.concatenate(truth[k]) if k != "tisr"
+                 else np.stack(truth[k])) for k in truth}
+    return truth, snaps, dates
 
 
 def _tisr(gcm, tyear):
@@ -377,17 +396,34 @@ def make_imperfect_forecasts(hyb_gcm, truth: dict, dates,
     hyb.gcm_steps = hyb_gcm.nsteps_day * timestep_hours // 24
     hyb.ml_only = False
 
+    # forecasts are independent: vmap a BATCH of launches into one
+    # dispatch (16 windows per program keeps the tunneled device busy
+    # instead of paying a round trip per 6-h forecast)
+    @jax.jit
+    def forecast_batch(atmo, logp, sst, imon, fmon, tyear):
+        def one(a, l, s, im, fm, ty):
+            spec, _ = hyb.inject_to_speedy(a, l)
+            fa, fl, _ = hyb.speedy_window(spec, s, im, fm, ty)
+            return fa, fl
+        return jax.vmap(one)(atmo, logp, sst, imon, fmon, tyear)
+
     T = truth["atmo"].shape[0]
-    fc_atmo = [truth["atmo"][0]]
-    fc_logp = [truth["logp"][0]]
-    for i in range(1, T):
-        d = dates[i - 1]
-        spec, _ = hyb.inject_to_speedy(truth["atmo"][i - 1],
-                                       truth["logp"][i - 1])
-        fa, fl = hyb.speedy_window(
-            spec, truth["sst"][i - 1], jnp.asarray(d.month - 1),
-            jnp.asarray(d.tmonth, dtype=hyb_gcm.dtype),
-            jnp.asarray(d.tyear, dtype=hyb_gcm.dtype))
-        fc_atmo.append(fa)
-        fc_logp.append(fl)
-    return dict(atmo=jnp.stack(fc_atmo), logp=jnp.stack(fc_logp))
+    fc_atmo = [np.asarray(truth["atmo"][0])[None]]
+    fc_logp = [np.asarray(truth["logp"][0])[None]]
+    B = 16
+    for b0 in range(1, T, B):
+        idx = np.arange(b0, min(b0 + B, T))
+        pad = B - len(idx)
+        src = np.concatenate([idx - 1, np.zeros(pad, dtype=int)])
+        dts = [dates[i] for i in src]
+        fa, fl = forecast_batch(
+            jnp.asarray(truth["atmo"][src]),
+            jnp.asarray(truth["logp"][src]),
+            jnp.asarray(truth["sst"][src]),
+            jnp.asarray([d.month - 1 for d in dts]),
+            jnp.asarray([d.tmonth for d in dts], dtype=hyb_gcm.dtype),
+            jnp.asarray([d.tyear for d in dts], dtype=hyb_gcm.dtype))
+        fc_atmo.append(np.asarray(fa)[:len(idx)])
+        fc_logp.append(np.asarray(fl)[:len(idx)])
+    return dict(atmo=np.concatenate(fc_atmo),
+                logp=np.concatenate(fc_logp))

@@ -126,6 +126,8 @@ def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
         if not cfg.ml_only:
             model_next = dict(atmo=sync_truth["atmo"][-1],
                               logp=sync_truth["logp"][-1])
+    hyb.persist_surface = cfg.persist_surface
+    hyb.emit_components = cfg.emit_components
     hstate = hyb.start_prediction(
         {k: v[:-1] for k, v in sync_truth.items()}, model_next,
         sync_truth["sst"][-1])
