@@ -1,0 +1,157 @@
+"""Hybrid-skill experiment at the PRODUCTION geometry (VERDICT r2 #2).
+
+Same twin-experiment protocol as scripts/skill_experiment.py, but at the
+reference's full layout: T30 (96x48x8), 1,152 regions, m >= 3000, >= 4
+held-out initial conditions, and BOTH reservoir topologies (the
+TPU-native shift/ring ensemble vs the reference's random permutation
+graphs, mod_linalg.f90:180-218) so the shift-topology default is
+justified by data at climate scale.
+
+Protocol:
+- TRUTH: T30 GCM with the real fort.2x boundary climatology;
+- IMPERFECT MODEL: same GCM with +3 K SST/STL and doubled albedo;
+- training pairs: truth snapshots vs imperfect 6-h forecasts launched
+  from truth (the read_model_states protocol,
+  speedy_res_interface.f90:634-720);
+- evaluation: 14-day free-running forecasts from held-out ICs, hybrid
+  vs pure imperfect SPEEDY; metric = area-weighted T RMSE vs truth
+  (the rms of /root/reference/scripts/hybrid_climo.py:28-40, with
+  Gaussian-latitude cos weights instead of nanmean over the regular
+  grid).
+
+Usage: python scripts/skill_experiment_production.py [n_train] [m]
+Writes SKILL_PROD_RESULT.json (one entry per topology) and prints
+progress lines.
+"""
+import sys, time, json, dataclasses
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from speedy_ml_tpu.core import Geometry
+from speedy_ml_tpu.core.spectral import SpectralTransform
+from speedy_ml_tpu.data.calendar import ModelDate
+from speedy_ml_tpu.gcm import GCM
+from speedy_ml_tpu.esn.domain import RegionLayout
+from speedy_ml_tpu.esn.reservoir import ESNHyper
+from speedy_ml_tpu.hybrid.training import (generate_nature_run,
+                                           make_imperfect_forecasts)
+from speedy_ml_tpu.hybrid.chunked import ArraySource, train_hybrid_production
+from speedy_ml_tpu.physics.boundaries import (load_boundary_data,
+                                              synthetic_boundary_data)
+
+t_all = time.time()
+geom = Geometry()                       # T30 production grid
+DT = jnp.float32
+sht = SpectralTransform(geom, dtype=DT)
+try:
+    bd_true = load_boundary_data(geom, sht, path="/root/reference/bin")
+except (FileNotFoundError, OSError):
+    bd_true = synthetic_boundary_data(geom, sht)
+bd_imp = dataclasses.replace(bd_true, sst12=bd_true.sst12 + 3.0,
+                             stl12=bd_true.stl12 + 3.0,
+                             alb0=bd_true.alb0 * 2.0)
+gcm_true = GCM(geom, dtype=DT, bd=bd_true)
+gcm_imp = GCM(geom, dtype=DT, bd=bd_imp)
+layout = RegionLayout(geom, n_regions=1152, overlap=1)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2000   # 500 days of 6-h
+M = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+N_IC = 4
+NCYC = 56                                             # 14 days
+SYNC = 24
+
+t0 = time.time()
+truth, snaps, dates = generate_nature_run(gcm_true, ModelDate(1990, 1, 1),
+                                          N + 80, spinup_days=30)
+print(f"nature run ({N+80} samples): {time.time()-t0:.0f}s", flush=True)
+t0 = time.time()
+model = make_imperfect_forecasts(gcm_imp, truth, dates)
+print(f"imperfect forecasts: {time.time()-t0:.0f}s", flush=True)
+
+train_truth = {k: np.asarray(v[:N]) for k, v in truth.items()}
+train_model = {k: np.asarray(v[:N]) for k, v in model.items()}
+src = ArraySource(train_truth, train_model)
+
+w = np.cos(geom.lat_radians)[:, None]
+
+
+def np_rmse(a, b):
+    return float(np.sqrt((w * (a - b) ** 2).sum() / (w.sum() * geom.nlon)))
+
+
+ICS = [N + 8 + i * 16 for i in range(N_IC)]
+results = {}
+for topology in ("shift", "random"):
+    hyper = ESNHyper(m=M, deg=6, noise_mag=0.2)
+    t0 = time.time()
+    hyb = train_hybrid_production(gcm_imp, layout, src, hyper,
+                                  jax.random.key(0), hybrid=True,
+                                  region_chunk=96, time_chunk=256,
+                                  dtype=DT, topology=topology)
+    t_train = time.time() - t0
+    print(f"[{topology}] trained m={M} in {t_train:.0f}s", flush=True)
+
+    @jax.jit
+    def baseline_init(atmo, logp):
+        spec, _ = hyb.inject_to_speedy(atmo, logp)
+        return spec
+
+    @jax.jit
+    def baseline_extract(state):
+        return gcm_imp.sht.spec_to_grid(state.spectral.t[0])
+
+    per_ic = []
+    for ic in ICS:
+        sync = {k: v[ic - SYNC:ic] for k, v in truth.items()}
+        model_next = dict(atmo=model["atmo"][ic], logp=model["logp"][ic])
+        st = hyb.start_prediction(sync, model_next,
+                                  jnp.asarray(truth["sst"][ic - 1]))
+        d = dates[ic]
+        spec = baseline_init(jnp.asarray(truth["atmo"][ic - 1]),
+                             jnp.asarray(truth["logp"][ic - 1]))
+        state_imp, forcing = gcm_imp.init_state(dates[ic - 1], spectral=spec)
+        state_imp = gcm_imp.stepone(state_imp, forcing)
+        dd = dates[ic - 1]
+        errs_h, errs_s = [], []
+        for c in range(NCYC):
+            st, diag = hyb.cycle(st, jnp.asarray(d.month - 1),
+                                 jnp.asarray(d.tmonth, dtype=DT),
+                                 jnp.asarray(d.tyear, dtype=DT))
+            forcing = gcm_imp.forcing_for(state_imp.sfc, dd.tyear)
+            state_imp = gcm_imp.run_window(state_imp, forcing, 24)
+            dd = dd.advance_hours(6)
+            d = d.advance_hours(6)
+            k = ic + c
+            if k >= truth["atmo"].shape[0]:
+                break
+            tr = np.asarray(truth["atmo"][k][0])
+            errs_h.append(np_rmse(np.asarray(diag["atmo"][0]), tr))
+            errs_s.append(np_rmse(np.asarray(baseline_extract(state_imp)),
+                                  tr))
+        eh, es = np.array(errs_h), np.array(errs_s)
+        per_ic.append(dict(ic=ic, hybrid=eh.tolist(), speedy=es.tolist()))
+        print(f"[{topology}] IC {ic}: day1 {eh[3]:.3f}/{es[3]:.3f} "
+              f"day3 {eh[11]:.3f}/{es[11]:.3f} day7 {eh[27]:.3f}/{es[27]:.3f} "
+              f"day14 {eh[-1]:.3f}/{es[-1]:.3f} (hyb/spd T-RMSE K)",
+              flush=True)
+
+    eh = np.mean([np.array(p["hybrid"]) for p in per_ic], axis=0)
+    es = np.mean([np.array(p["speedy"]) for p in per_ic], axis=0)
+    results[topology] = dict(
+        n_train=N, m=M, n_ic=N_IC, train_wall_s=round(t_train, 1),
+        lead_days=[(i + 1) / 4 for i in range(len(eh))],
+        hybrid_rmse=eh.tolist(), speedy_rmse=es.tolist(),
+        hybrid_mean=float(eh.mean()), speedy_mean=float(es.mean()),
+        beats_speedy_all_leads=bool((eh < es).all()),
+        per_ic=per_ic)
+    print(f"[{topology}] mean T-RMSE hybrid {eh.mean():.3f} vs speedy "
+          f"{es.mean():.3f}; beats at all leads: {(eh < es).all()}",
+          flush=True)
+
+results["meta"] = dict(geometry="T30 96x48x8", n_regions=1152,
+                       protocol="hybrid_climo.py rms, cos-lat weighted",
+                       wall_s=round(time.time() - t_all, 1))
+with open("/root/repo/SKILL_PROD_RESULT.json", "w") as f:
+    json.dump(results, f, indent=1)
+print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "per_ic"}
+                  if isinstance(v, dict) and "per_ic" in v else v
+                  for k, v in results.items()}))

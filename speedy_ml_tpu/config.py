@@ -56,6 +56,9 @@ class RunConfig:
     # --- data/paths ---
     bc_path: Optional[str] = None
     era_path: Optional[str] = None
+    # precomputed SPEEDY forecast-state year-files (read_model_states,
+    # speedy_res_interface.f90:634-720); default: alongside era_path
+    model_states_path: Optional[str] = None
     output_path: str = "./output"
     checkpoint_path: str = "./checkpoints"
 
@@ -105,7 +108,11 @@ class RunConfig:
             # fort.2x files exist only at the reference's 96x48 grid; a
             # smaller grid that happens to divide the record size would
             # silently read garbage, so gate on the geometry
-            if (geom.nlon, geom.nlat) == (96, 48) or self.bc_path:
+            if self.bc_path:
+                # explicitly configured path: load errors are the user's
+                # bug (a typo must not silently train on the aquaplanet)
+                bd = load_boundary_data(geom, sht, path=self.bc_path)
+            elif (geom.nlon, geom.nlat) == (96, 48):
                 try:
                     bd = load_boundary_data(geom, sht, path=self.bc_path)
                 except (FileNotFoundError, OSError, ValueError):

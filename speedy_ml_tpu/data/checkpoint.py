@@ -47,6 +47,11 @@ def save_hybrid(hyb, path: str):
         arrs["region_ids"] = pk.cls.region_ids
         if pk.res.shifts is not None:
             arrs["shifts"] = np.asarray(pk.res.shifts, dtype=np.int64)
+        if pk.res.win_cols is not None:
+            # ragged per-row Win gather map (reference-imported packs,
+            # reference_import.assemble_reference_class) — without it a
+            # reload silently falls back to the uniform-repeat Win path
+            arrs["win_cols"] = np.asarray(pk.res.win_cols, dtype=np.int32)
         np.savez_compressed(p / f"class_{i}.npz", **arrs)
         meta[f"hyper_{i}"] = dataclasses.asdict(pk.hyper)
         if pk.zspec is not None:
@@ -103,11 +108,13 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
                 and cols.ndim == 2):
             from speedy_ml_tpu.esn.reservoir import make_onehots
             onehots = make_onehots(cols, z["res_vals"].shape[2], dtype)
+        win_cols = (jnp.asarray(z["win_cols"])
+                    if "win_cols" in z.files else None)
         res = BatchedReservoir(cols=cols, vals=f("res_vals"),
                                win_vals=f("res_win_vals"), wout=f("res_wout"),
                                mean=f("res_mean"), std=f("res_std"),
                                n_in=int(z["n_in"]), onehots=onehots,
-                               shifts=shifts)
+                               shifts=shifts, win_cols=win_cols)
         std = Standardizer(comp_mean=f("std_comp_mean"),
                            comp_std=f("std_comp_std"),
                            in_mean=f("std_in_mean"), in_std=f("std_in_std"),

@@ -146,6 +146,23 @@ class ERA5Reader:
         return data
 
 
+def daily_sst_climatology(reader: ERA5Reader, years: list) -> np.ndarray:
+    """(365, lat, lon) daily-mean SST climatology over `years`, on the
+    Feb-29-spliced model calendar (the full_sst_climo input of
+    train_on_sst_anomalies, speedy_res_interface.f90:439-632)."""
+    acc = None
+    cnt = 0
+    for y in years:
+        valid = reader.valid_hour_index(y)
+        sst = reader.read_year(y, variables=("sst",))["sst"][valid]
+        days = sst[:365 * 24].reshape(365, 24, *sst.shape[1:]).mean(axis=1)
+        acc = days if acc is None else acc + days
+        cnt += 1
+    if cnt == 0:
+        raise ValueError("no ERA years available for the SST climatology")
+    return acc / cnt
+
+
 def era_to_truth(era: dict, q_to_gkg: bool = True,
                  sst_climo: Optional[np.ndarray] = None,
                  hour_of_year: Optional[np.ndarray] = None) -> dict:

@@ -255,8 +255,11 @@ def generate(key, n_regions: int, n_inputs: int, hyper: ESNHyper,
     # structure generator draws from key [seed, n_regions] — disjoint from
     # the per-region VALUE keys [seed, 0..n_regions-1] — so the topology
     # never reuses region 0's random stream.
-    # jitted: the tunneled-TPU backend has no eager kernels
-    seed = int(jax.jit(lambda k: jax.random.randint(k, (), 0, 2**31 - 1))(key))
+    # seed derived HOST-SIDE from the raw key data: a jitted
+    # random.randint here cost minutes on first dispatch (it forced the
+    # tunneled-TPU backend to initialize even under JAX_PLATFORMS=cpu)
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]
+               & 0x7FFFFFFF)
     struct_key = [seed, n_regions]
     shifts = None
     if topology == "shift":

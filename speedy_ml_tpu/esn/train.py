@@ -230,6 +230,27 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
     return jax.lax.map(lambda args: solve_one(*args), (ss, st))
 
 
+def solve_wout_sharded(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
+                       mesh, axis: str = "regions") -> jnp.ndarray:
+    """solve_wout with the region axis sharded over `mesh`.
+
+    Per-region solves are independent, so the SPMD form is a shard_map
+    with a purely LOCAL solve per device — no collectives.  (Naively
+    calling solve_wout on sharded inputs makes its sequential lax.map
+    dynamic-slice across shards every iteration: 70 s for a (64, 708,
+    708) batch on an 8-device host mesh vs <2 s this way.)"""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(axis, None, None)
+
+    def block(ss, st):
+        return solve_wout(NormalEq(ss=ss, st=st), hyper, n_speedy)
+
+    return shard_map(block, mesh=mesh, in_specs=(spec, spec),
+                     out_specs=spec)(eq.ss, eq.st)
+
+
 def train_subseries(res: BatchedReservoir, hyper: ESNHyper,
                     series_in: jnp.ndarray, series_target: jnp.ndarray,
                     series_model: Optional[jnp.ndarray],

@@ -79,17 +79,32 @@ class ERASource:
     """SeriesSource over yearly ERA5 files (data.era.ERA5Reader) plus an
     optional model-forecast reader; loads whole years lazily with an LRU
     of one year, which matches the reference's year-loop streaming reads
-    (speedy_res_interface.f90:439-632)."""
+    (speedy_res_interface.f90:439-632).
+
+    Sample hours live on the 365-day MODEL calendar (8,760 h/year): leap
+    years' Feb-29 records are spliced OUT of the file via
+    ERA5Reader.valid_hour_index (the reference's splice at
+    speedy_res_interface.f90:588-596), and a requested chunk may span a
+    year boundary — the read splits per year-file and concatenates.
+
+    sst_climo: optional (365, lat, lon) daily SST climatology; when given
+    SSTs become anomalies against it (train_on_sst_anomalies,
+    speedy_res_interface.f90 anomaly option)."""
+
+    VARS = ("t", "u", "v", "q", "logp", "precip", "sst", "tisr")
 
     def __init__(self, reader, year0: int, n_samples: int,
-                 sample_stride_hours: int = 1, model_reader=None):
+                 sample_stride_hours: int = 1, model_reader=None,
+                 sst_climo=None):
         self.reader = reader
         self.year0 = year0
         self._n = n_samples
         self.stride_h = sample_stride_hours
         self.model_reader = model_reader
+        self.sst_climo = None if sst_climo is None else np.asarray(sst_climo)
         self._cache_year = None
         self._cache = None
+        self._cache_valid = None
 
     @property
     def n_samples(self) -> int:
@@ -98,19 +113,33 @@ class ERASource:
     def _hours(self, idx: np.ndarray) -> np.ndarray:
         return np.asarray(idx) * self.stride_h
 
+    def _year_data(self, year: int):
+        """(raw year arrays, Feb-29-spliced hour index) with a 1-year LRU."""
+        if self._cache_year != year:
+            self._cache = self.reader.read_year(year, variables=self.VARS)
+            self._cache_valid = self.reader.valid_hour_index(year)
+            self._cache_year = year
+        return self._cache, self._cache_valid
+
     def truth_at(self, idx: np.ndarray) -> dict:
         from speedy_ml_tpu.data.era import era_to_truth
         hours = self._hours(idx)
-        # assume all indices fall in one model year chunk per call
-        # (callers iterate in time order with modest chunk sizes)
-        year = self.year0 + int(hours[0]) // 8760
-        off = hours - (year - self.year0) * 8760
-        if self._cache_year != year:
-            self._cache = self.reader.read_year(
-                year, variables=("t", "u", "v", "q", "logp", "precip",
-                                 "sst", "tisr"))
-            self._cache_year = year
-        return era_to_truth({k: v[off] for k, v in self._cache.items()})
+        years = self.year0 + hours // 8760
+        parts = []
+        # ascending year order keeps sample order AND leaves the latest
+        # year cached for the caller's next (time-ordered) chunk
+        for y in sorted(int(v) for v in np.unique(years)):
+            sel = years == y
+            off = hours[sel] - (y - self.year0) * 8760
+            data, valid = self._year_data(y)
+            fidx = valid[off]
+            parts.append({k: data[k][fidx] for k in self.VARS})
+        raw = (parts[0] if len(parts) == 1 else
+               {k: np.concatenate([p[k] for p in parts]) for k in self.VARS})
+        return era_to_truth(raw, sst_climo=self.sst_climo,
+                            hour_of_year=(hours % 8760
+                                          if self.sst_climo is not None
+                                          else None))
 
     def model_at(self, idx: np.ndarray) -> Optional[dict]:
         if self.model_reader is None:

@@ -152,10 +152,28 @@ class HybridAtmosphere:
         # VERDICT r1 weak #9); off -> each window re-inits surfaces from
         # climatology (round-1 behavior).  Static: toggling retraces.
         self.persist_surface = False
+        # peer-to-peer sharded cycle (set_mesh): assemble/feedback/
+        # local_model run shard-mapped over lon sectors with ppermute
+        # halos instead of a replicated grid (hybrid/sharded.py)
+        self.mesh = None
+        self._sharded_ops = None
         g = gcm.geom
         self.nz = g.nlev
         # steps of the GCM inside one hybrid window
         self.gcm_steps = gcm.nsteps_day * self.TIMESTEP_HOURS // 24
+
+    def set_mesh(self, mesh, shard_gcm: bool = True):
+        """Switch the cycle to the hub-free sharded path: region outputs
+        scatter into LON-SECTOR grid shards, halos move by ring ppermute,
+        and feedback/local-model windows gather shard-locally (the
+        TPU-native transposition of sendrecievegrid, mpires.f90:218-780).
+        Call BEFORE the first traced cycle; also lat-shards the GCM's
+        grid-space physics (GCM.set_mesh) unless shard_gcm=False."""
+        from speedy_ml_tpu.hybrid.sharded import ShardedCycleOps
+        self.mesh = mesh
+        self._sharded_ops = ShardedCycleOps(self.layout, self.packs, mesh)
+        if shard_gcm:
+            self.gcm.set_mesh(mesh)
 
     # ------------------------------------------------------------------
 
@@ -467,32 +485,34 @@ class HybridAtmosphere:
         (full_sst of get_sst_by_date, mpires.f90:1679-1725)."""
         self.sst_table = jnp.asarray(table, dtype=self.gcm.dtype)
 
-    def tisr_field(self, tyear, hour_of_year=None):
+    def tisr_field(self, tyear, hour_of_year=None, table=None,
+                   hours_per_entry: int = 1):
         """TISR input field for the current date.
 
-        With a table installed (set_tisr_table) and a traced
+        With a table (a traced jit argument — see _cycle_jit, which
+        threads self.tisr_table through explicitly so installing or
+        swapping a table retraces/re-reads correctly) and a traced
         hour_of_year, index it like get_tisr_by_date
         (mpires.f90:1644-1676); otherwise substitute the analytic
         Hartmann daily-mean insolation, which carries the same seasonal
         signal."""
         g = self.gcm.geom
-        if self.tisr_table is not None and hour_of_year is not None:
-            k = (hour_of_year // self.tisr_hours_per_entry) % \
-                self.tisr_table.shape[0]
-            return jax.lax.dynamic_index_in_dim(self.tisr_table, k, 0,
+        if table is not None and hour_of_year is not None:
+            k = (hour_of_year // hours_per_entry) % table.shape[0]
+            return jax.lax.dynamic_index_in_dim(table, k, 0,
                                                 keepdims=False)
         slat = jnp.asarray(g.sin_lat, dtype=self.gcm.dtype)
         clat = jnp.asarray(g.cos_lat, dtype=self.gcm.dtype)
         row = solar_flux_traced(tyear, 4.0 * SOLC, slat, clat)
         return jnp.broadcast_to(row[:, None], (g.nlat, g.nlon))
 
-    def sst_by_date(self, hour_of_year, sst_bias):
+    def sst_by_date(self, hour_of_year, sst_bias, table):
         """Daily-climatology SST with the non-stationary bias ramp applied
         over open water (get_sst_by_date, mpires.f90:1679-1725: bias added
-        where SST > 273 K when non_stationary_ocn_climo)."""
-        day = (hour_of_year // 24) % self.sst_table.shape[0]
-        sst = jax.lax.dynamic_index_in_dim(self.sst_table, day, 0,
-                                           keepdims=False)
+        where SST > 273 K when non_stationary_ocn_climo).  `table` is a
+        traced jit argument (threaded by _cycle_jit)."""
+        day = (hour_of_year // 24) % table.shape[0]
+        sst = jax.lax.dynamic_index_in_dim(table, day, 0, keepdims=False)
         return jnp.where(sst > 273.0, sst + sst_bias, sst)
 
     # ------------------------------------------------------------------
@@ -506,25 +526,37 @@ class HybridAtmosphere:
         non-stationary-climate SST offset (current_sst_bias).
         Returns (new_state, diagnostics dict)."""
         # feature flags enter the jit cache key explicitly — mutating an
-        # instance attribute alone would NOT retrace a self-static jit
+        # instance attribute alone would NOT retrace a self-static jit.
+        # The TISR/SST tables are likewise threaded as real jit arguments
+        # (presence changes the pytree structure -> retrace; content
+        # changes are plain array updates), so set_*_table works even
+        # after the first traced cycle.
         return self._cycle_jit(params, hstate, imon, fmon, tyear,
                                hour_of_year,
                                jnp.asarray(sst_bias, dtype=self.gcm.dtype),
-                               self.emit_components, self.persist_surface)
+                               (self.tisr_table, self.sst_table),
+                               self.emit_components, self.persist_surface,
+                               self.tisr_hours_per_entry,
+                               self._sharded_ops is not None)
 
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 9, 10, 11, 12))
     def _cycle_jit(self, params, hstate: HybridState, imon, fmon,
-                   tyear, hour_of_year, sst_bias, emit_components,
-                   persist_surface) -> tuple:
+                   tyear, hour_of_year, sst_bias, tables, emit_components,
+                   persist_surface, tisr_hpe, sharded) -> tuple:
+        # `sharded` mirrors self._sharded_ops presence in the jit cache
+        # key, so set_mesh AFTER a traced cycle still retraces (self is
+        # static with identity hash; its attributes alone would not)
         packs, opacks = self._with_params(params)
+        tisr_table, sst_table = tables
 
         # SST seen by the ESN inputs and SPEEDY this cycle: without an ML
         # ocean, follow the daily climatology (get_sst_by_date); the ML
         # ocean overwrites it every SLAB_STRIDE cycles below.
-        if self.sst_table is not None and hour_of_year is not None \
+        if sst_table is not None and hour_of_year is not None \
                 and not self.ocean_packs:
             hstate = dataclasses.replace(
-                hstate, sst_grid=self.sst_by_date(hour_of_year, sst_bias))
+                hstate, sst_grid=self.sst_by_date(hour_of_year, sst_bias,
+                                                  sst_table))
 
         contribs = None
         if emit_components:
@@ -532,7 +564,11 @@ class HybridAtmosphere:
                                                         components=True)
         else:
             new_x, outvecs = self.predict_all(packs, hstate)
-        atmo, logp, precip = self.assemble_global(packs, outvecs)
+        if sharded:
+            atmo, logp, precip = self._sharded_ops.assemble(
+                packs, outvecs, self.nz, self.gcm.dtype)
+        else:
+            atmo, logp, precip = self.assemble_global(packs, outvecs)
 
         new_sfc, new_fluxes = hstate.sfc, hstate.fluxes
         if self.ml_only:
@@ -581,13 +617,23 @@ class HybridAtmosphere:
                     lambda a: jnp.where(do_couple, jnp.zeros_like(a), a),
                     fx_acc)
 
-        tisr = self.tisr_field(tyear, hour_of_year)
-        feedbacks = self.build_feedback(packs, atmo, logp, precip,
-                                        hstate.sst_grid, tisr)
-        if self.ml_only:
-            locals_ = [cs.local_model for cs in hstate.classes]
+        tisr = self.tisr_field(tyear, hour_of_year, table=tisr_table,
+                               hours_per_entry=tisr_hpe)
+        if sharded:
+            feedbacks = self._sharded_ops.feedback(
+                packs, atmo, logp, precip, hstate.sst_grid, tisr)
+            if self.ml_only:
+                locals_ = [cs.local_model for cs in hstate.classes]
+            else:
+                locals_ = self._sharded_ops.local_model(packs, fc_atmo,
+                                                        fc_logp, self.nz)
         else:
-            locals_ = self.build_local_model(packs, fc_atmo, fc_logp)
+            feedbacks = self.build_feedback(packs, atmo, logp, precip,
+                                            hstate.sst_grid, tisr)
+            if self.ml_only:
+                locals_ = [cs.local_model for cs in hstate.classes]
+            else:
+                locals_ = self.build_local_model(packs, fc_atmo, fc_logp)
 
         # --- slab-ocean reservoirs: accumulate every cycle, step every
         #     SLAB_STRIDE cycles (parallelmain.f90:236-248, mpires.f90:753-757)
@@ -640,10 +686,13 @@ class HybridAtmosphere:
         if contribs is not None:
             # assemble the standardized v_p/v_ml readout contributions
             # into global grids (the reference's v_p/v_ml NetCDF streams)
-            vp_a, vp_l, vp_p = self.assemble_global(
-                packs, [c[0] for c in contribs], clamp=False)
-            vml_a, vml_l, vml_p = self.assemble_global(
-                packs, [c[1] for c in contribs], clamp=False)
+            asm = (lambda pk, v, clamp: self._sharded_ops.assemble(
+                       pk, v, self.nz, self.gcm.dtype, clamp=clamp)
+                   ) if sharded else self.assemble_global
+            vp_a, vp_l, vp_p = asm(packs, [c[0] for c in contribs],
+                                   clamp=False)
+            vml_a, vml_l, vml_p = asm(packs, [c[1] for c in contribs],
+                                      clamp=False)
             diag.update(vp_atmo=vp_a, vp_logp=vp_l, vp_precip=vp_p,
                         vml_atmo=vml_a, vml_logp=vml_l, vml_precip=vml_p)
         return new_state, diag

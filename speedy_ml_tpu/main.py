@@ -26,16 +26,49 @@ from speedy_ml_tpu.config import RunConfig
 from speedy_ml_tpu.data.calendar import ModelDate
 
 
+def train_stride(cfg: RunConfig) -> int:
+    """Sub-series stride for training (mod_reservoir.f90:287-299).
+
+    ERA5 files hold HOURLY samples trained on a timestep_hours cycle, so
+    the series splits into timestep_hours interleaved sub-series; a
+    self-generated nature run already samples at timestep_hours, so its
+    stride is 1 (setting n_subseries there would train on
+    n_subseries*timestep_hours spacing — wrong)."""
+    if cfg.era_path:
+        return cfg.n_subseries or cfg.timestep_hours
+    return 1
+
+
 def build_source(cfg: RunConfig, gcm, n_samples: int, date0: ModelDate):
-    """SeriesSource for training: ERA5 files if configured, else a
-    nature run + imperfect 6-h forecasts (self-contained mode)."""
+    """SeriesSource for training: ERA5 files (+ precomputed SPEEDY
+    forecast-state files for the hybrid's local_model input) if
+    configured, else a nature run + imperfect 6-h forecasts
+    (self-contained mode)."""
     from speedy_ml_tpu.hybrid.chunked import ArraySource, ERASource
 
     if cfg.era_path:
         from speedy_ml_tpu.data.era import ERA5Reader
         reader = ERA5Reader(cfg.era_path)
+        model_reader = None
+        if not cfg.ml_only:
+            from speedy_ml_tpu.data.model_states import ModelStateReader
+            msr = ModelStateReader(cfg.model_states_path or cfg.era_path,
+                                   date0.year)
+            if not msr.year_path(date0.year).exists():
+                raise FileNotFoundError(
+                    f"hybrid training needs SPEEDY forecast-state files "
+                    f"({msr.year_path(date0.year)} missing; generate them "
+                    "with data.model_states.generate_model_state_files, "
+                    "or set ml_only)")
+            model_reader = msr.model_at
+        sst_climo = None
+        if cfg.train_on_sst_anomalies:
+            from speedy_ml_tpu.data.era import daily_sst_climatology
+            years = reader.available_years(date0.year, date0.year + 40)
+            sst_climo = daily_sst_climatology(reader, years)
         return ERASource(reader, date0.year, n_samples,
-                         sample_stride_hours=1)
+                         sample_stride_hours=1, model_reader=model_reader,
+                         sst_climo=sst_climo)
     from speedy_ml_tpu.hybrid.training import (generate_nature_run,
                                                make_imperfect_forecasts)
     truth, snaps, dates = generate_nature_run(
@@ -55,7 +88,7 @@ def train(cfg: RunConfig, source=None):
     gcm = cfg.build_gcm()
     layout = cfg.build_layout()
     date0 = ModelDate(1990, 1, 1)
-    stride = cfg.n_subseries or 1
+    stride = train_stride(cfg)
     n_samples = cfg.training_hours // cfg.timestep_hours * stride
     if source is None:
         source = build_source(cfg, gcm, n_samples, date0)
@@ -73,10 +106,15 @@ def train(cfg: RunConfig, source=None):
                            topology=cfg.topology,
                            precip_eps=cfg.precip_epsilon)
     else:
+        # n_batches normal-equation accumulation chunks per sub-series
+        # (initialize_chunk_training's 20 batches,
+        # mod_reservoir.f90:1559-1590)
+        sub_len = n_samples // stride
+        time_chunk = max(16, -(-sub_len // cfg.n_batches))
         hyb = train_hybrid_production(
             gcm, layout, source, cfg.atmo, jax.random.key(cfg.seed),
             ocean=cfg.slab_ocean, ocean_hyper=cfg.ocean,
-            hybrid=not cfg.ml_only, stride=stride,
+            hybrid=not cfg.ml_only, stride=stride, time_chunk=time_chunk,
             n_discard=max(1, cfg.discard_hours // cfg.timestep_hours),
             precip_eps=cfg.precip_epsilon, dtype=jnp.dtype(cfg.dtype),
             topology=cfg.topology)
@@ -128,6 +166,9 @@ def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
                               logp=sync_truth["logp"][-1])
     hyb.persist_surface = cfg.persist_surface
     hyb.emit_components = cfg.emit_components
+    # ocean step cadence (timestep_slab, mod_reservoir.f90:37): instance
+    # override of the class default; set before the first traced cycle
+    hyb.SLAB_STRIDE = max(1, cfg.timestep_slab_hours // cfg.timestep_hours)
     hstate = hyb.start_prediction(
         {k: v[:-1] for k, v in sync_truth.items()}, model_next,
         sync_truth["sst"][-1])

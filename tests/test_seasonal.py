@@ -104,13 +104,16 @@ def test_cycle_uses_tables():
         np.ones((1, g.nlat, g.nlon))
     hyb.set_sst_table(sst_tab)
 
-    f = hyb.tisr_field(jnp.asarray(0.5), jnp.asarray(1230))
+    f = hyb.tisr_field(jnp.asarray(0.5), jnp.asarray(1230),
+                       table=hyb.tisr_table,
+                       hours_per_entry=hyb.tisr_hours_per_entry)
     # hour 1230 -> entry 205 -> table value 205*6 = 1230
     np.testing.assert_allclose(np.asarray(f), 1230.0)
 
-    sst = hyb.sst_by_date(jnp.asarray(24 * 40 + 3), jnp.asarray(1.5))
+    sst = hyb.sst_by_date(jnp.asarray(24 * 40 + 3), jnp.asarray(1.5),
+                          hyb.sst_table)
     np.testing.assert_allclose(np.asarray(sst), 280.0 + 40 + 1.5)
     # below-freezing entries get no bias
     hyb.set_sst_table(np.full((365, g.nlat, g.nlon), 271.0))
-    sst = hyb.sst_by_date(jnp.asarray(0), jnp.asarray(1.5))
+    sst = hyb.sst_by_date(jnp.asarray(0), jnp.asarray(1.5), hyb.sst_table)
     np.testing.assert_allclose(np.asarray(sst), 271.0)
