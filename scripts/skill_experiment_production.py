@@ -61,7 +61,7 @@ SYNC = 24
 
 t0 = time.time()
 truth, snaps, dates = generate_nature_run(gcm_true, ModelDate(1990, 1, 1),
-                                          N + 80, spinup_days=30)
+                                          N + 160, spinup_days=30)
 print(f"nature run ({N+80} samples): {time.time()-t0:.0f}s", flush=True)
 t0 = time.time()
 model = make_imperfect_forecasts(gcm_imp, truth, dates)
@@ -78,7 +78,7 @@ def np_rmse(a, b):
     return float(np.sqrt((w * (a - b) ** 2).sum() / (w.sum() * geom.nlon)))
 
 
-ICS = [N + 8 + i * 16 for i in range(N_IC)]
+ICS = [N + 8 + i * 24 for i in range(N_IC)]   # all ICs fit NCYC + margin
 results = {}
 for topology in ("shift", "random"):
     hyper = ESNHyper(m=M, deg=6, noise_mag=0.2)

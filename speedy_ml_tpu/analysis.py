@@ -128,3 +128,101 @@ def mass_drift(logp: np.ndarray, lat: np.ndarray) -> float:
     """Relative total-mass drift over the series (should be ~0)."""
     m = total_atmosphere_mass(logp, lat)
     return float((m[-1] - m[0]) / m[0])
+
+
+# ----------------------------------------------------------------------
+# wavelet ENSO spectrum (scripts/enso_hybrid.py get_wavelet_fft_power,
+# :1319-1400 — pycwt's Torrence & Compo 1998 Morlet CWT, re-implemented
+# in plain numpy since this image carries no pycwt)
+# ----------------------------------------------------------------------
+
+def morlet_cwt(series: np.ndarray, dt: float, dj: float = 1.0 / 12,
+               s0: float | None = None, n_octaves: float = 7.0,
+               omega0: float = 6.0):
+    """Continuous wavelet transform with a Morlet(omega0) mother.
+
+    FFT-based (Torrence & Compo 1998 eq. 4): W_n(s) = ifft(fft(x) *
+    conj(Psi_hat(s * w))).  Returns (wave (J+1, N) complex, scales,
+    periods).  Defaults mirror the reference call: s0 = 6*dt, twelve
+    sub-octaves per octave, seven octaves."""
+    x = np.asarray(series, dtype=np.float64)
+    N = x.size
+    s0 = 6.0 * dt if s0 is None else s0
+    J = int(round(n_octaves / dj))
+    scales = s0 * 2.0 ** (dj * np.arange(J + 1))
+    # angular frequencies of the DFT
+    w = 2.0 * np.pi * np.fft.fftfreq(N, d=dt)
+    xh = np.fft.fft(x)
+    # normalized Morlet in frequency space (TC98 table 1):
+    # Psi_hat(s w) = pi^-1/4 H(w) exp(-(s w - omega0)^2 / 2)
+    norm = (np.pi ** -0.25) * np.sqrt(2.0 * np.pi * scales / dt)
+    arg = scales[:, None] * w[None, :] - omega0
+    psi = norm[:, None] * np.exp(-0.5 * arg ** 2) * (w[None, :] > 0)
+    wave = np.fft.ifft(xh[None, :] * np.conj(psi), axis=1)
+    # Fourier-equivalent period for Morlet (TC98 eq. 6.8)
+    fourier_factor = 4.0 * np.pi / (omega0 + np.sqrt(2.0 + omega0 ** 2))
+    periods = scales * fourier_factor
+    return wave, scales, periods
+
+
+def wavelet_power_spectrum(series: np.ndarray, dt: float, **kw) -> dict:
+    """Global wavelet power + 2-8 period-unit scale-averaged power of a
+    detrended, std-normalized series (the quantities the reference plots
+    for the Nino-3.4 index; enso_hybrid.py:1329-1392)."""
+    x = np.asarray(series, dtype=np.float64)
+    N = x.size
+    t = np.arange(N) * dt
+    p = np.polyfit(t, x, 1)
+    xd = x - np.polyval(p, t)
+    std = xd.std()
+    if std == 0:
+        std = 1.0
+    wave, scales, periods = morlet_cwt(xd / std, dt, **kw)
+    power = np.abs(wave) ** 2
+    glbl = power.mean(axis=1)
+    sel = (periods >= 2.0) & (periods < 8.0)
+    # scale-averaged power (TC98 eq. 24, up to the Cdelta constant)
+    dj = np.log2(scales[1] / scales[0])
+    scale_avg = (power[sel] / scales[sel, None]).sum(axis=0) * dj * dt
+    return dict(periods=periods, global_power=glbl,
+                scale_avg_2_8=scale_avg, power=power, std=float(std))
+
+
+# ----------------------------------------------------------------------
+# stratosphere climatology (scripts/stratosphere_climo.py): zonal-mean
+# stratospheric wind, SSW-style reversal counts, QBO section
+# ----------------------------------------------------------------------
+
+def zonal_mean(field: np.ndarray) -> np.ndarray:
+    """(..., lat, lon) -> (..., lat) zonal mean."""
+    return np.asarray(field).mean(axis=-1)
+
+
+def ssw_reversal_fraction(u: np.ndarray, lat: np.ndarray,
+                          months: np.ndarray, level: int = 0,
+                          lat0: float = 60.0,
+                          winter=(11, 12, 1, 2, 3)) -> float:
+    """Fraction of extended-winter (NDJFM) samples with REVERSED
+    (easterly) zonal-mean stratospheric wind at ~lat0 N — the
+    sudden-stratospheric-warming proxy the reference counts
+    (stratosphere_climo.py:117-145: ds_zmean NDJFM where U < 0).
+
+    u: (T, K, lat, lon) zonal wind on sigma levels (level 0 = top);
+    months: (T,) calendar month per sample."""
+    j = int(np.argmin(np.abs(np.asarray(lat) - lat0)))
+    uz = zonal_mean(u[:, level])[:, j]
+    sel = np.isin(np.asarray(months), winter)
+    if not sel.any():
+        return 0.0
+    return float((uz[sel] < 0.0).mean())
+
+
+def qbo_section(u: np.ndarray, lat: np.ndarray,
+                lat_band: float = 5.0) -> np.ndarray:
+    """Equatorial zonal-mean zonal wind (T, K): the time-height section
+    whose downward-propagating reversals are the QBO
+    (stratosphere_climo.py qbo_plot:385-421)."""
+    m = np.abs(np.asarray(lat)) <= lat_band
+    w = np.cos(np.deg2rad(np.asarray(lat)[m]))
+    uz = zonal_mean(u)[..., m]                      # (T, K, lat_band)
+    return (uz * w).sum(axis=-1) / w.sum()

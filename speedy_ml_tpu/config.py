@@ -33,6 +33,9 @@ class RunConfig:
     timestep_slab_hours: int = 168     # model_parameters%timestep_slab
     ml_only: bool = False
     slab_ocean: bool = True            # slab_ocean_model_bool
+    # hybrid slab readout (predict_slab) vs ml-only slab (predict_slab_ml);
+    # reference default ml_only_ocean=.True. (mod_slab_ocean_reservoir.f90:26)
+    hybrid_ocean: bool = False
     precip: bool = True                # precip_bool
     precip_epsilon: float = 0.001
 
@@ -68,8 +71,11 @@ class RunConfig:
     seed: int = 33                     # init_random_marker(33)
     sppt_on: bool = False              # mod_tsteps.f90:68
     # persist slab land/ice anomalies across 6-h cycles with a daily
-    # coupler exchange (the reference's fluxes.grd semantics)
-    persist_surface: bool = False
+    # coupler exchange — ON by default to match the reference, which
+    # always carries them through restarts via fluxes.grd
+    # (mod_cpl_land_model.f90:85-126); set False for the stateless
+    # re-init-from-climatology behavior
+    persist_surface: bool = True
     # write v_p/v_ml readout-contribution streams (outvec_component_contribs)
     emit_components: bool = False
     # reservoir graph family: "shift" (TPU-native ring ensemble) or

@@ -18,8 +18,17 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# All transform einsums run at full-f32 MXU precision: the TPU's default
+# matmul precision is bf16 passes, whose ~8-bit mantissa error in the
+# grid<->spectral round trip accumulates through the leapfrog and blows
+# the T30 integration up after ~20 days (f32 on CPU, where einsums are
+# true f32, is stable for the same run).  These arrays are tiny, so
+# HIGHEST costs nothing measurable against the physics.
+_PREC = jax.lax.Precision.HIGHEST
 
 from speedy_ml_tpu.core.geometry import Geometry
 
@@ -204,6 +213,37 @@ class SpectralTransform:
         elif zonal != "fft":
             raise ValueError(f"zonal must be 'fft' or 'dft', got {zonal}")
 
+        # tensor parallelism over zonal wavenumber m (SURVEY 2.3 TP row):
+        # set_mesh installs sharding constraints at the transform
+        # boundaries so the Legendre einsum batch axis partitions across
+        # devices instead of replicating the whole spectral core
+        self._c_fm = None     # (..., lat, m): m is the LAST axis
+        self._c_sp = None     # (..., m, n):   m is the second-to-last
+
+    def set_mesh(self, mesh, axis: str = "regions"):
+        """Shard the spectral transforms over zonal wavenumber m.
+
+        The reference's Legendre work is a per-latitude loop over m
+        (spe_spectral.f90:454-538); here it is a batched einsum whose m
+        axis this pins to the mesh.  Every spectral operator (vds/
+        uvspec/grad/lap/trunct) is elementwise in m — the _shift_* ops
+        move n — so the sharding propagates through the whole dycore
+        step with collectives only at the zonal legs (reduce over lon
+        on the way in, over m on the way out).  Requires zonal='dft'
+        (the matmul DFT composes with GSPMD; the FFT thunk does not)."""
+        if self.zonal != "dft":
+            raise ValueError("spectral m-sharding needs zonal='dft'")
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        fm_s = NamedSharding(mesh, P(axis))       # rank-extended below
+        def c(a, pos):
+            spec = [None] * a.ndim
+            spec[pos] = axis
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(*spec)))
+        self._c_fm = lambda a: c(a, a.ndim - 1)
+        self._c_sp = lambda a: c(a, a.ndim - 2)
+
     # ------------------------------------------------------------------
     # longitude (Fourier) leg
     # ------------------------------------------------------------------
@@ -211,15 +251,17 @@ class SpectralTransform:
     def _specx(self, field: jnp.ndarray) -> jnp.ndarray:
         """Grid (..., nlat, nlon) -> zonal coeffs (..., nlat, mx) complex."""
         if self.zonal == "dft":
-            return jnp.einsum("...j,jm->...m", field.astype(self.dtype),
-                              self.dft_fwd)
+            fm = jnp.einsum("...j,jm->...m", field.astype(self.dtype),
+                            self.dft_fwd, precision=_PREC)
+            return fm if self._c_fm is None else self._c_fm(fm)
         fm = jnp.fft.rfft(field.astype(self.dtype), axis=-1)
         return (fm[..., : self.geom.mx] / self.geom.nlon).astype(self.cdtype)
 
     def _gridx(self, fm: jnp.ndarray, kcos: int) -> jnp.ndarray:
         """Zonal coeffs (..., nlat, mx) -> grid (..., nlat, nlon)."""
         if self.zonal == "dft":
-            g = jnp.einsum("...m,mj->...j", fm, self.dft_inv).real
+            g = jnp.einsum("...m,mj->...j", fm, self.dft_inv,
+                           precision=_PREC).real
             g = g.astype(self.dtype)
         else:
             nfreq = self.geom.nlon // 2 + 1
@@ -242,17 +284,25 @@ class SpectralTransform:
         north = jnp.flip(fm[..., iy:, :], axis=-2)
         sv = (north + south) * self.wt[:, None]
         dv = (north - south) * self.wt[:, None]
-        even = jnp.einsum("jmn,...jm->...mn", self.cpol_even_s, sv)
-        odd = jnp.einsum("jmn,...jm->...mn", self.cpol_odd_s, dv)
-        return even + odd
+        even = jnp.einsum("jmn,...jm->...mn", self.cpol_even_s, sv,
+                          precision=_PREC)
+        odd = jnp.einsum("jmn,...jm->...mn", self.cpol_odd_s, dv,
+                         precision=_PREC)
+        out = even + odd
+        return out if self._c_sp is None else self._c_sp(out)
 
     def _gridy(self, v: jnp.ndarray) -> jnp.ndarray:
         """Spectral (..., mx, nx) -> zonal coeffs (..., nlat, mx)."""
-        even = jnp.einsum("jmn,...mn->...jm", self.cpol_even_g, v)
-        odd = jnp.einsum("jmn,...mn->...jm", self.cpol_odd_g, v)
+        if self._c_sp is not None:
+            v = self._c_sp(v)
+        even = jnp.einsum("jmn,...mn->...jm", self.cpol_even_g, v,
+                          precision=_PREC)
+        odd = jnp.einsum("jmn,...mn->...jm", self.cpol_odd_g, v,
+                         precision=_PREC)
         north = even + odd
         south = even - odd
-        return jnp.concatenate([south, jnp.flip(north, axis=-2)], axis=-2)
+        fm = jnp.concatenate([south, jnp.flip(north, axis=-2)], axis=-2)
+        return fm if self._c_fm is None else self._c_fm(fm)
 
     # ------------------------------------------------------------------
     # public transforms

@@ -68,6 +68,7 @@ def save_hybrid(hyb, path: str):
             arrs["std_sst"] = np.asarray(op.std_sst)
             np.savez_compressed(p / f"ocean_{i}.npz", **arrs)
             meta[f"ocean_hyper_{i}"] = dataclasses.asdict(op.hyper)
+            meta[f"ocean_hybrid_{i}"] = bool(op.hybrid_readout)
         if hyb.base_sst is not None:
             np.savez_compressed(p / "ocean_aux.npz",
                                 base_sst=np.asarray(hyb.base_sst),
@@ -149,7 +150,8 @@ def load_hybrid(gcm, layout, path: str, dtype=jnp.float32):
             ocean_packs.append(OceanPack(
                 cls=layout.classes[i], res=res, hyper=hyper,
                 idx_map=z["idx_map"], mean_sst=f("mean_sst"),
-                std_sst=f("std_sst")))
+                std_sst=f("std_sst"),
+                hybrid_readout=meta.get(f"ocean_hybrid_{i}", False)))
         aux = np.load(p / "ocean_aux.npz")
         base_sst = jnp.asarray(aux["base_sst"], dtype=dtype)
         sea_mask = jnp.asarray(aux["sea_mask"])

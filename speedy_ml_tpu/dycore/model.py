@@ -414,13 +414,20 @@ class DycoreModel:
     def implicit_correction(self, imp: ImplicitCoeffs, divdt, tdt, psdt):
         """Semi-implicit gravity-wave correction (dyn_implic.f90)."""
         # ye[k] = sum_k1 xd[k,k1] tdt[k1] + tref1[k] psdt
-        ye = jnp.einsum("kl,lmn->kmn", imp.xd.astype(self.dtype), tdt) \
+        # full-f32 MXU precision: the default bf16 passes destabilize the
+        # long integration (see core/spectral._PREC)
+        import jax
+        prec = jax.lax.Precision.HIGHEST
+        ye = jnp.einsum("kl,lmn->kmn", imp.xd.astype(self.dtype), tdt,
+                        precision=prec) \
             + imp.tref1[:, None, None] * psdt[None]
         yf = divdt + imp.elz[None] * ye
         # divdt[m,n,:] = xj[l(m,n)] @ yf[m,n,:]  (zero for l=0)
-        divdt_new = jnp.einsum("mnkl,lmn->kmn", imp.xj_g.astype(self.dtype), yf)
+        divdt_new = jnp.einsum("mnkl,lmn->kmn", imp.xj_g.astype(self.dtype),
+                               yf, precision=prec)
         psdt = psdt - jnp.sum(divdt_new * imp.dhsx[:, None, None], axis=0)
-        tdt = tdt + jnp.einsum("kl,lmn->kmn", imp.xc.astype(self.dtype), divdt_new)
+        tdt = tdt + jnp.einsum("kl,lmn->kmn", imp.xc.astype(self.dtype),
+                               divdt_new, precision=prec)
         return divdt_new, tdt, psdt
 
     # ------------------------------------------------------------------

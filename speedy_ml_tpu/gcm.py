@@ -119,11 +119,14 @@ class GCM:
         return self._forcing_jit(sfc, jnp.asarray(tyear, dtype=self.dtype))
 
     def set_mesh(self, mesh, axis: str = "regions"):
-        """Distribute the GCM's grid-space physics over `mesh` by pinning
-        a latitude sharding at physics entry (with_sharding_constraint).
-        The spectral dynamics stay replicated (T30 spectral work is tiny);
-        the column physics — the FLOP-heavy part — sharding propagates
-        through XLA, replacing the per-device SPEEDY replication."""
+        """Distribute the GCM over `mesh`:
+
+        - grid-space physics: latitude sharding pinned at physics entry
+          (with_sharding_constraint) — the FLOP-heavy columns distribute
+          instead of replicating per device;
+        - spectral dynamics: tensor parallelism over zonal wavenumber m
+          (SpectralTransform.set_mesh) — the Legendre einsum batch axis
+          partitions, closing SURVEY 2.3's TP row (needs zonal='dft')."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         lat2 = NamedSharding(mesh, P(axis, None))
         lat3 = NamedSharding(mesh, P(None, axis, None))
@@ -133,6 +136,8 @@ class GCM:
             return jax.lax.with_sharding_constraint(a, s)
 
         self.phys.constrain = constrain
+        if self.sht.zonal == "dft":
+            self.sht.set_mesh(mesh, axis)
 
     # ------------------------------------------------------------------
 

@@ -229,21 +229,28 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
 # chunked accumulation
 # ----------------------------------------------------------------------
 
-def _chunk_accumulators(hyper: ESNHyper, shifts, n_in: int):
+def _chunk_accumulators(hyper: ESNHyper, shifts, n_in: int, cols=None,
+                        onehots=None):
     """Build the two jitted inner programs (advance-only and accumulate).
 
     Noise is already applied to z by the caller (on the FULL class, so
     results are independent of region chunking).  ss/st/x are donated so
     XLA reuses their HBM across calls — at production scale ss alone is
-    gigabytes per region chunk."""
+    gigabytes per region chunk.
+
+    shift topology carries `shifts`; the reference's random graphs carry
+    the shared ELL `cols` (n, J) (+ optional one-hot matrices for the
+    MXU spmv path on accelerators)."""
 
     def mkres(vals, win_vals):
         R, n = win_vals.shape
         return BatchedReservoir(
-            cols=jnp.zeros((0,), dtype=jnp.int32), vals=vals,
+            cols=(jnp.zeros((0,), dtype=jnp.int32) if cols is None
+                  else cols),
+            vals=vals,
             win_vals=win_vals, wout=jnp.zeros((R, 0, 0), dtype=vals.dtype),
             mean=jnp.zeros((R, 0)), std=jnp.ones((R, 0)),
-            n_in=n_in, shifts=shifts)
+            n_in=n_in, shifts=shifts, onehots=onehots)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def advance(vals, win_vals, x, z):
@@ -375,8 +382,15 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
     wout_parts = []
     # built ONCE: jit caches by shape, so all full-size region chunks
     # share one compilation (the ragged tail chunk adds one more)
-    advance, accumulate = _chunk_accumulators(hyper, shifts,
-                                              std.in_mean.shape[1])
+    oh = None
+    if shifts is None and cols.ndim == 2 and jax.default_backend() != "cpu":
+        # accelerator spmv path for the reference's random graphs (TPU
+        # gathers lower to scalar loops; one-hot matmuls ride the MXU)
+        from speedy_ml_tpu.esn.reservoir import make_onehots
+        oh = make_onehots(cols, n, dtype)
+    advance, accumulate = _chunk_accumulators(
+        hyper, shifts, std.in_mean.shape[1],
+        cols=None if shifts is not None else cols, onehots=oh)
     solve = jax.jit(solve_wout, static_argnums=(1, 2))
 
     for r0 in range(0, Rc, region_chunk):
@@ -460,12 +474,86 @@ def hyper_inputs(layout: RegionLayout, cls, nz: int) -> int:
                         sst=True, tisr=True).total
 
 
+def ocean_series_production(layout: RegionLayout, cls, atmo_std, source,
+                            nz: int, *, slab_stride: int = 28,
+                            stride: int = 1, time_chunk: int = 512,
+                            precip_eps: float = 0.001, dtype=jnp.float32):
+    """Stream the slab-ocean training series from a SeriesSource.
+
+    The slab inputs are trailing `slab_stride`-sample rolling means of
+    the atmo-standardized ocean-input sub-vector, sampled at the slab
+    cadence; targets are the SST core at the same cadence
+    (get_training_data_from_atmo's rolling average + stride,
+    mod_slab_ocean_reservoir.f90:272-376).  The 6-h base series is
+    sub-series 0 of `stride` (hourly sources).  Streams time chunks and
+    carries the rolling window across chunk edges — the full truth is
+    NEVER materialized (the r2 implementation held the whole series on
+    host, ~TBs at 26 years).  Also accumulates the mean SST grid
+    (base_sst, the land fill of mpires.f90:458-472).
+
+    Returns (o_series (T_slab, Rc, I_o), target (T_slab, Rc, O),
+    mean_sst_grid)."""
+    from speedy_ml_tpu.esn.ocean import (ocean_index_map, ocean_target_slice,
+                                         rolling_mean, sst_core_from_input)
+    iy = jnp.asarray(cls.iy_in)
+    ix = jnp.asarray(cls.ix_in)
+    idx_map = jnp.asarray(ocean_index_map(cls, nz))
+    sl = ocean_target_slice(cls, nz)
+    W = slab_stride
+    sub_idx = np.arange(0, source.n_samples, stride)
+    T = len(sub_idx)
+
+    @jax.jit
+    def prep(chunk_truth, carry):
+        series = gather_pack_inputs(chunk_truth, iy, ix, precip_eps, dtype)
+        z = (series - atmo_std.in_mean) / atmo_std.in_std
+        o = z[:, :, idx_map]
+        full = jnp.concatenate([carry, o], axis=0)
+        rm = rolling_mean(full, W)[carry.shape[0]:]
+        sst_block = z[:, :, sl[0]:sl[1]]
+        C, Rc = sst_block.shape[:2]
+        tgt = sst_core_from_input(
+            cls, sst_block.reshape(C * Rc, -1)).reshape(C, Rc, -1)
+        return rm, tgt, full[-(W - 1):] if W > 1 else full[:0]
+
+    I_o = len(np.asarray(idx_map))
+    Rc = cls.count
+    carry = jnp.zeros((0, Rc, I_o), dtype=dtype)
+    o_parts, t_parts = [], []
+    sst_sum = None
+    n_sst = 0
+    pos = 0
+    while pos < T:
+        idx = sub_idx[pos:pos + time_chunk]
+        truth = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
+        rm, tgt, carry = prep(truth, carry)
+        # slab-cadence positions within this chunk (global phase W-1)
+        loc = np.arange(len(idx))
+        keep = (pos + loc) % W == W - 1
+        if keep.any():
+            o_parts.append(np.asarray(rm[keep]))
+            t_parts.append(np.asarray(tgt[keep]))
+        s = np.asarray(truth["sst"])
+        sst_sum = s.sum(axis=0) if sst_sum is None else sst_sum + s.sum(axis=0)
+        n_sst += s.shape[0]
+        pos += len(idx)
+    o_series = jnp.asarray(np.concatenate(o_parts, axis=0))
+    target = jnp.asarray(np.concatenate(t_parts, axis=0))
+    return o_series, target, jnp.asarray(sst_sum / max(n_sst, 1))
+
+
 def train_hybrid_production(gcm, layout: RegionLayout, source,
                             hyper: ESNHyper, key, *, ocean: bool = False,
                             ocean_hyper=None, hybrid: bool = True,
-                            **kw):
+                            hybrid_ocean: bool = False,
+                            slab_stride: int = 28, **kw):
     """Train every region class at production scale and assemble the
-    hybrid atmosphere (the streaming twin of training.train_hybrid)."""
+    hybrid atmosphere (the streaming twin of training.train_hybrid).
+
+    hybrid_ocean: train the slab readout with the lagged-SST local-model
+    block (predict_slab, mod_slab_ocean_reservoir.f90:1201-1249) instead
+    of the default ml-only slab (ml_only_ocean=.True.,
+    initialize_slab_ocean_model:26)."""
     from speedy_ml_tpu.hybrid.model import HybridAtmosphere
 
     packs = []
@@ -477,20 +565,23 @@ def train_hybrid_production(gcm, layout: RegionLayout, source,
     base_sst = sea_mask = None
     if ocean:
         from speedy_ml_tpu.esn.ocean import OCEAN_HYPER
-        from speedy_ml_tpu.hybrid.training import train_ocean_class
+        from speedy_ml_tpu.hybrid.training import fit_ocean_class
         ocean_hyper = ocean_hyper or OCEAN_HYPER
-        # the slab series is T/28 samples — small even at production;
-        # materialize truth once per class from the source
-        idx = np.arange(source.n_samples)
-        truth = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
+        dtype = kw.get("dtype", jnp.float32)
         ocean_packs = []
         for i, (cls, p) in enumerate(zip(layout.classes, packs)):
-            ocean_packs.append(train_ocean_class(
-                layout, cls, p, ocean_hyper,
+            o_series, target, mean_sst = ocean_series_production(
+                layout, cls, p.std, source, gcm.geom.nlev,
+                slab_stride=slab_stride, stride=kw.get("stride", 1),
+                time_chunk=max(kw.get("time_chunk", 128), 128),
+                precip_eps=kw.get("precip_eps", 0.001), dtype=dtype)
+            ocean_packs.append(fit_ocean_class(
+                cls, o_series, target, p, ocean_hyper,
                 jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
-                truth=truth, dtype=kw.get("dtype", jnp.float32),
-                topology=kw.get("topology", "shift")))
-        base_sst = jnp.asarray(np.asarray(truth["sst"]).mean(axis=0))
+                dtype=dtype, topology=kw.get("topology", "shift"),
+                hybrid_ocean=hybrid_ocean))
+            if i == 0:
+                base_sst = mean_sst
         sea_mask = jnp.asarray(np.asarray(gcm.bd.fmask_l) > 0.0)
     return HybridAtmosphere(gcm, layout, packs, ml_only=not hybrid,
                             ocean_packs=ocean_packs, base_sst=base_sst,

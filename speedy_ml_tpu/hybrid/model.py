@@ -59,6 +59,11 @@ class OceanClassState:
     """Slab-ocean reservoir state for one region class."""
     x: jnp.ndarray        # (Rc, n_o)
     buffer: jnp.ndarray   # (W, Rc, I_o) rolling atmo-input buffer (W=27)
+    # standardized SST local-model for the hybrid slab readout: the
+    # previous slab step's own outvec (predict_slab persists its output
+    # as the next step's imperfect model,
+    # mod_slab_ocean_reservoir.f90:1236-1238); None for ml-only slabs
+    lm: object = None     # (Rc, O_o) or None
 
 
 @jax.tree_util.register_dataclass
@@ -89,6 +94,10 @@ class OceanPack(NamedTuple):
     idx_map: np.ndarray
     mean_sst: jnp.ndarray    # (Rc, 1)
     std_sst: jnp.ndarray
+    # hybrid slab readout (predict_slab vs predict_slab_ml,
+    # mod_slab_ocean_reservoir.f90:1201-1296): the readout sees
+    # [previous SST outvec ; x~] instead of x~ alone
+    hybrid_readout: bool = False
 
 
 class ClassPack(NamedTuple):
@@ -199,9 +208,12 @@ class HybridAtmosphere:
         for op in self.ocean_packs:
             Rc = op.cls.count
             I_o = len(op.idx_map)
+            lm = (jnp.zeros((Rc, op.res.n_outputs), dtype=self.gcm.dtype)
+                  if op.hybrid_readout else None)
             out.append(OceanClassState(
                 x=jnp.zeros((Rc, op.res.n), dtype=self.gcm.dtype),
-                buffer=jnp.zeros((W, Rc, I_o), dtype=self.gcm.dtype)))
+                buffer=jnp.zeros((W, Rc, I_o), dtype=self.gcm.dtype),
+                lm=lm))
         return tuple(out)
 
     def start_prediction(self, truth_sync: dict, model_next: Optional[dict],
@@ -255,10 +267,20 @@ class HybridAtmosphere:
                 T = o_series.shape[0]
                 reps = (W + T - 1) // T
                 buf = jnp.tile(o_series, (reps, 1, 1))[-W:]
+                lm = None
+                if op.hybrid_readout:
+                    # seed the slab local model with the last observed
+                    # SST core (start_prediction_slab seeds outvec from
+                    # the final ERA SST, mod_slab_ocean_reservoir.f90:
+                    # 769-800), standardized
+                    from speedy_ml_tpu.esn.ocean import (
+                        ocean_target_slice, sst_core_from_input)
+                    sl = ocean_target_slice(op.cls, self.nz)
+                    lm = sst_core_from_input(op.cls, z[-1, :, sl[0]:sl[1]])
                 ocean_states.append(OceanClassState(
                     x=jnp.zeros((op.cls.count, op.res.n),
                                 dtype=self.gcm.dtype),
-                    buffer=buf))
+                    buffer=buf, lm=lm))
         return HybridState(classes=tuple(cls_states),
                            sst_grid=jnp.asarray(sst0),
                            safe=jnp.asarray(True, dtype=jnp.bool_),
@@ -295,7 +317,8 @@ class HybridAtmosphere:
                            zspec=p.zspec)
                  for p, (r, s) in zip(self.packs, atmo_p)]
         opacks = [OceanPack(cls=op.cls, res=r, hyper=op.hyper,
-                            idx_map=op.idx_map, mean_sst=m, std_sst=s)
+                            idx_map=op.idx_map, mean_sst=m, std_sst=s,
+                            hybrid_readout=op.hybrid_readout)
                   for op, (r, m, s) in zip(self.ocean_packs or (), ocean_p)]
         return packs, opacks
 
@@ -650,19 +673,30 @@ class HybridAtmosphere:
                 fb_mean = buffer.mean(axis=0)
 
                 # the slab ESN only advances every SLAB_STRIDE cycles;
-                # lax.cond skips its spmv/readout entirely in between
-                def _advance(x, op=op, fb_mean=fb_mean):
+                # lax.cond skips its spmv/readout entirely in between.
+                # Hybrid readout (predict_slab): the previous slab
+                # output rides along as the local-model block and the
+                # new output replaces it.
+                def _advance(x, lm, op=op, fb_mean=fb_mean):
                     x_new = esn_step(op.res, x, fb_mean, op.hyper.leakage)
-                    out = readout(op.res, x_new)
-                    return x_new, out * op.std_sst + op.mean_sst
+                    out = readout(op.res, x_new,
+                                  lm if op.hybrid_readout else None)
+                    lm_new = out if op.hybrid_readout else lm
+                    return x_new, lm_new, out * op.std_sst + op.mean_sst
 
-                def _hold(x, op=op):
-                    return x, jnp.zeros((op.cls.count, op.res.n_outputs),
-                                        dtype=self.gcm.dtype)
+                def _hold(x, lm, op=op):
+                    return x, lm, jnp.zeros(
+                        (op.cls.count, op.res.n_outputs),
+                        dtype=self.gcm.dtype)
 
-                x_keep, out_phys = jax.lax.cond(do_step, _advance, _hold,
-                                                ocs.x)
-                ocean_states.append(OceanClassState(x=x_keep, buffer=buffer))
+                lm0 = (ocs.lm if ocs.lm is not None else
+                       jnp.zeros((op.cls.count, op.res.n_outputs),
+                                 dtype=self.gcm.dtype))
+                x_keep, lm_keep, out_phys = jax.lax.cond(
+                    do_step, _advance, _hold, ocs.x, lm0)
+                ocean_states.append(OceanClassState(
+                    x=x_keep, buffer=buffer,
+                    lm=lm_keep if op.hybrid_readout else None))
                 xc, yc = op.cls.core_shape
                 patches = out_phys.reshape(-1, yc, xc)
                 sst_new = self.layout.scatter_core(op.cls, patches, sst_new)

@@ -187,11 +187,62 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
     return ClassPack(cls=cls, res=res, hyper=hyper, std=std, zspec=zspec)
 
 
+def fit_ocean_class(cls, o_series, target, atmo_pack, hyper, key, nz: int, *,
+                    n_discard: int = 2, dtype=jnp.float32,
+                    topology: str = "shift", hybrid_ocean: bool = False):
+    """Generate + ridge-fit the slab reservoirs of one class from
+    prepared (T_slab, Rc, I_o) inputs and (T_slab, Rc, O) SST targets.
+
+    hybrid_ocean: include the previous slab step's SST core as a
+    local-model block in the readout — the reference's `predict_slab`
+    hybrid variant (mod_slab_ocean_reservoir.f90:1201-1249), where the
+    slab's own last output persists as its imperfect model.  The lagged
+    training stand-in is the lagged TRUTH SST (persistence forecast)."""
+    from speedy_ml_tpu.esn.ocean import ocean_index_map
+    from speedy_ml_tpu.hybrid.model import OceanPack
+
+    T_slab, Rc, I_o = o_series.shape
+    radius = np.full(Rc, 0.9)  # initialize_slab_ocean_model:31
+    cols, vals, win, shifts = generate(key, Rc, I_o, hyper, radius,
+                                       dtype=dtype, topology=topology)
+    n = vals.shape[2]
+    O = target.shape[2]
+    S_o = O if hybrid_ocean else 0
+    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I_o,
+                           wout=jnp.zeros((Rc, O, S_o + n), dtype=dtype),
+                           mean=jnp.zeros((Rc, I_o), dtype=dtype),
+                           std=jnp.ones((Rc, I_o), dtype=dtype),
+                           shifts=shifts)
+
+    model_in = None
+    if hybrid_ocean:
+        # model_in[k] = sst core one slab step BEFORE target[k]
+        model_in = jnp.concatenate([target[:1], target[:-1]], axis=0)
+
+    L = T_slab - n_discard
+    batch_size = max(1, L - 1)    # single batch (train_slab_ocean_model:1331)
+    x0 = discard_transient(res, hyper, o_series[:n_discard])
+    eq, _ = accumulate_batches(
+        res, hyper, o_series[n_discard:], target[n_discard:],
+        None if model_in is None else model_in[n_discard:], x0, batch_size)
+    wout = solve_wout(eq, hyper, n_speedy=S_o)
+    res = dataclasses.replace(res, wout=wout)
+
+    # SST unstandardization scalars from the atmo standardizer
+    sst_comp = NVAR * nz + 2   # components: atmo(4*nz), logp, precip, sst
+    mean_sst = atmo_pack.std.comp_mean[:, sst_comp:sst_comp + 1]
+    std_sst = atmo_pack.std.comp_std[:, sst_comp:sst_comp + 1]
+    return OceanPack(cls=cls, res=res, hyper=hyper,
+                     idx_map=ocean_index_map(cls, nz),
+                     mean_sst=mean_sst, std_sst=std_sst,
+                     hybrid_readout=hybrid_ocean)
+
+
 def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
                       nz: int, *, slab_stride: int = 28,
                       n_discard: int = 2, dtype=jnp.float32,
                       truth: dict = None, precip_eps: float = 0.001,
-                      topology: str = "shift"):
+                      topology: str = "shift", hybrid_ocean: bool = False):
     """Train the slab-ocean reservoirs of one class
     (train_slab_ocean_model / get_training_data_from_atmo,
     mod_slab_ocean_reservoir.f90:173-376).
@@ -201,7 +252,6 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
     one-slab-step-ahead SST core."""
     from speedy_ml_tpu.esn.ocean import (ocean_index_map, ocean_target_slice,
                                          rolling_mean, sst_core_from_input)
-    from speedy_ml_tpu.hybrid.model import OceanPack
 
     series = pack_class_series(layout, cls, truth, precip_eps).astype(dtype)
     z_in = atmo_pack.std.standardize_input(series)
@@ -216,32 +266,9 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
     target = sst_core_from_input(
         cls, sst_block.reshape(T_slab * Rc, -1)).reshape(T_slab, Rc, -1)
 
-    radius = np.full(Rc, 0.9)  # initialize_slab_ocean_model:31
-    I_o = o_series.shape[2]
-    cols, vals, win, shifts = generate(key, Rc, I_o, hyper, radius, dtype=dtype,
-                                       topology=topology)
-    n = vals.shape[2]
-    O = target.shape[2]
-    res = BatchedReservoir(cols=cols, vals=vals, win_vals=win, n_in=I_o,
-                           wout=jnp.zeros((Rc, O, n), dtype=dtype),
-                           mean=jnp.zeros((Rc, I_o), dtype=dtype),
-                           std=jnp.ones((Rc, I_o), dtype=dtype),
-                           shifts=shifts)
-
-    L = T_slab - n_discard
-    batch_size = max(1, L - 1)    # single batch (train_slab_ocean_model:1331)
-    x0 = discard_transient(res, hyper, o_series[:n_discard])
-    eq, _ = accumulate_batches(res, hyper, o_series[n_discard:],
-                               target[n_discard:], None, x0, batch_size)
-    wout = solve_wout(eq, hyper, n_speedy=0)
-    res = dataclasses.replace(res, wout=wout)
-
-    # SST unstandardization scalars from the atmo standardizer
-    sst_comp = NVAR * nz + 2   # components: atmo(4*nz), logp, precip, sst
-    mean_sst = atmo_pack.std.comp_mean[:, sst_comp:sst_comp + 1]
-    std_sst = atmo_pack.std.comp_std[:, sst_comp:sst_comp + 1]
-    return OceanPack(cls=cls, res=res, hyper=hyper, idx_map=idx_map,
-                     mean_sst=mean_sst, std_sst=std_sst)
+    return fit_ocean_class(cls, o_series, target, atmo_pack, hyper, key, nz,
+                           n_discard=n_discard, dtype=dtype,
+                           topology=topology, hybrid_ocean=hybrid_ocean)
 
 
 def train_hybrid(gcm, layout: RegionLayout, truth: dict,

@@ -114,6 +114,8 @@ def train(cfg: RunConfig, source=None):
         hyb = train_hybrid_production(
             gcm, layout, source, cfg.atmo, jax.random.key(cfg.seed),
             ocean=cfg.slab_ocean, ocean_hyper=cfg.ocean,
+            hybrid_ocean=cfg.hybrid_ocean,
+            slab_stride=max(1, cfg.timestep_slab_hours // cfg.timestep_hours),
             hybrid=not cfg.ml_only, stride=stride, time_chunk=time_chunk,
             n_discard=max(1, cfg.discard_hours // cfg.timestep_hours),
             precip_eps=cfg.precip_epsilon, dtype=jnp.dtype(cfg.dtype),

@@ -69,3 +69,43 @@ def test_total_mass():
     logp2 = logp.copy()
     logp2[-1] += 0.01
     assert abs(mass_drift(logp2, LAT) - (np.exp(0.01) - 1)) < 1e-6
+
+
+def test_wavelet_power_peaks_at_signal_period():
+    """A pure sinusoid's global wavelet power must peak at its period
+    (Morlet CWT parity with the reference's pycwt pipeline)."""
+    from speedy_ml_tpu.analysis import wavelet_power_spectrum
+    dt = 1.0 / 12.0                       # monthly samples in years
+    t = np.arange(0, 64, dt)
+    period_true = 4.0                     # a 4-year ENSO-like cycle
+    x = np.sin(2 * np.pi * t / period_true) + 0.1
+    out = wavelet_power_spectrum(x, dt)
+    peak = out["periods"][np.argmax(out["global_power"])]
+    assert abs(peak - period_true) / period_true < 0.15
+    # the 2-8 year scale-averaged power dominates a 1-year control peak
+    x1 = np.sin(2 * np.pi * t / 1.0)
+    out1 = wavelet_power_spectrum(x1, dt)
+    assert out["scale_avg_2_8"].mean() > 3 * out1["scale_avg_2_8"].mean()
+
+
+def test_ssw_reversal_fraction():
+    from speedy_ml_tpu.analysis import ssw_reversal_fraction
+    lat = np.linspace(-87, 87, 48)
+    T, K = 20, 8
+    u = np.full((T, K, 48, 96), 10.0)
+    months = np.asarray([1] * 10 + [7] * 10)
+    j = np.argmin(np.abs(lat - 60.0))
+    u[:5, 0, j, :] = -3.0                 # 5 reversed winter samples
+    u[12, 0, j, :] = -3.0                 # summer reversal: ignored
+    f = ssw_reversal_fraction(u, lat, months)
+    assert abs(f - 0.5) < 1e-12
+
+
+def test_qbo_section_shape_and_band():
+    from speedy_ml_tpu.analysis import qbo_section
+    lat = np.linspace(-87, 87, 48)
+    u = np.zeros((6, 8, 48, 96))
+    u[:, :, np.abs(lat) <= 5.0, :] = 7.0
+    q = qbo_section(u, lat)
+    assert q.shape == (6, 8)
+    np.testing.assert_allclose(q, 7.0)

@@ -94,3 +94,101 @@ def test_ocean_coupled_ml_cycle():
     assert not np.allclose(sst0, sst1)
     # and stay in a physical range
     assert sst1.min() >= 272.0 and sst1.max() < 320.0
+
+
+def test_streamed_ocean_series_matches_inmemory():
+    """ocean_series_production (streamed, chunk-carried rolling mean)
+    must equal the in-memory train_ocean_class series construction."""
+    from speedy_ml_tpu.esn.ocean import (ocean_target_slice, rolling_mean,
+                                         sst_core_from_input)
+    from speedy_ml_tpu.hybrid.chunked import (ArraySource,
+                                              ocean_series_production,
+                                              streaming_standardizer)
+    from speedy_ml_tpu.hybrid.training import pack_class_series
+
+    layout = RegionLayout(GEOM, n_regions=128, overlap=1)
+    cls = [c for c in layout.classes if c.count == 96][0]
+    T, W = 40, 7
+    truth = fabricate_truth(T)
+    src = ArraySource({k: np.asarray(v) for k, v in truth.items()})
+    std = streaming_standardizer(layout, cls, src, GEOM.nlev,
+                                 dtype=jnp.float64)
+
+    o_s, t_s, base = ocean_series_production(
+        layout, cls, std, src, GEOM.nlev, slab_stride=W, time_chunk=9,
+        dtype=jnp.float64)
+
+    series = pack_class_series(layout, cls, truth).astype(jnp.float64)
+    z = std.standardize_input(series)
+    from speedy_ml_tpu.esn.ocean import ocean_index_map
+    idx = jnp.asarray(ocean_index_map(cls, GEOM.nlev))
+    o_ref = rolling_mean(z[:, :, idx], W)[W - 1::W]
+    sl = ocean_target_slice(cls, GEOM.nlev)
+    blk = z[W - 1::W][:, :, sl[0]:sl[1]]
+    t_ref = sst_core_from_input(
+        cls, blk.reshape(-1, blk.shape[2])).reshape(blk.shape[0],
+                                                    blk.shape[1], -1)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_ref),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_ref),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(base),
+                               np.asarray(truth["sst"]).mean(axis=0),
+                               rtol=1e-12)
+
+
+def test_hybrid_slab_readout_uses_persisted_outvec():
+    """predict_slab parity: the hybrid slab readout consumes its OWN
+    previous output as the local model and persists the new one
+    (mod_slab_ocean_reservoir.f90:1201-1249)."""
+    import dataclasses as dc
+    from speedy_ml_tpu.esn.reservoir import esn_step, readout
+    from speedy_ml_tpu.hybrid.chunked import (ArraySource,
+                                              train_hybrid_production)
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+
+    sht = SpectralTransform(GEOM, dtype=jnp.float64)
+    bd = synthetic_boundary_data(GEOM, sht)
+    gcm = GCM(GEOM, PhysicalConstants(), dtype=jnp.float64, bd=bd)
+    layout = RegionLayout(GEOM, n_regions=128, overlap=1)
+    T, W = 60, 5
+    truth = fabricate_truth(T)
+    src = ArraySource({k: np.asarray(v) for k, v in truth.items()})
+    hyper = ESNHyper(m=600, noise_mag=0.0)
+    ohyper = ESNHyper(m=300, sigma=0.6, beta_res=1e-4, noise_mag=0.0,
+                      using_prior=False)
+    hyb = train_hybrid_production(
+        gcm, layout, src, hyper, jax.random.PRNGKey(2), hybrid=False,
+        ocean=True, ocean_hyper=ohyper, hybrid_ocean=True, slab_stride=W,
+        n_discard=2, dtype=jnp.float64)
+    hyb.SLAB_STRIDE = W
+    for op in hyb.ocean_packs:
+        assert op.hybrid_readout
+        # wout carries the S_o local-model block
+        O = op.res.n_outputs
+        assert op.res.wout.shape[2] == O + op.res.n
+
+    sync = {k: v[: 3 * W] for k, v in truth.items()}
+    hstate = hyb.start_prediction(sync, None, truth["sst"][3 * W - 1])
+    assert hstate.ocean[0].lm is not None
+    lm_seed = np.asarray(hstate.ocean[0].lm)
+
+    args = (jnp.asarray(0), jnp.asarray(0.5, jnp.float64),
+            jnp.asarray(0.05, jnp.float64))
+    # W cycles: the slab steps exactly once, on the last cycle
+    st = hstate
+    for _ in range(W):
+        st, _ = hyb.cycle(st, *args)
+    ocs0, ocs1 = hstate.ocean[0], st.ocean[0]
+    # manual replay of the single slab step from the recorded buffer
+    op = hyb.ocean_packs[0]
+    fb_mean = np.asarray(ocs1.buffer).mean(axis=0)  # buffer AFTER? recompute
+    # recompute expected: run the W cycles' buffers forward on host
+    # (cheapest correct check: lm changed, equals readout with lm block)
+    assert not np.allclose(np.asarray(ocs1.lm), lm_seed)
+    x_new = np.asarray(ocs1.x)
+    # the persisted lm must equal the standardized outvec of this step:
+    # reconstruct from x_new and the seed lm
+    out = readout(op.res, jnp.asarray(x_new), jnp.asarray(lm_seed))
+    np.testing.assert_allclose(np.asarray(ocs1.lm), np.asarray(out),
+                               rtol=1e-10, atol=1e-12)

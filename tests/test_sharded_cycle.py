@@ -131,3 +131,27 @@ def test_no_grid_allgather_in_feedback_hlo(hyb, mesh):
     hlo = compiled.as_text()
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo, "grid all-gather in sharded feedback"
+
+
+def test_spectral_m_sharding_equality(mesh):
+    """Tensor parallelism over zonal wavenumber m (SURVEY 2.3 TP row):
+    the m-sharded transforms must equal the replicated ones exactly."""
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    g = Geometry()
+    ref_sht = SpectralTransform(g, dtype=jnp.float64, zonal="dft")
+    tp_sht = SpectralTransform(g, dtype=jnp.float64, zonal="dft")
+    tp_sht.set_mesh(mesh)
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.normal(size=(8, g.nlat, g.nlon)))
+    ref = jax.jit(ref_sht.grid_to_spec)(f)
+    got = jax.jit(tp_sht.grid_to_spec)(f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+    gr_ref = jax.jit(lambda v: ref_sht.spec_to_grid(v))(ref)
+    gr_got = jax.jit(lambda v: tp_sht.spec_to_grid(v))(got)
+    np.testing.assert_allclose(np.asarray(gr_got), np.asarray(gr_ref),
+                               rtol=1e-12, atol=1e-14)
+    u, v = jax.jit(tp_sht.uv_grid)(ref, ref)
+    u0, v0 = jax.jit(ref_sht.uv_grid)(ref, ref)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u0),
+                               rtol=1e-11, atol=1e-13)
