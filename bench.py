@@ -30,6 +30,15 @@ def main():
     from __graft_entry__ import _boundary
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    # persistent XLA compile cache: the tunneled backend's remote compile
+    # of the full cycle costs many minutes; repeats load in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     log("bench: devices", jax.devices())
 
     geom = Geometry()
@@ -70,6 +79,60 @@ def main():
 
     sim_seconds = n_cycles * 6 * 3600.0
     sim_years_per_day = (sim_seconds / elapsed) * 86400.0 / (365.0 * 86400.0)
+    cycle_ms = elapsed / n_cycles * 1000.0
+    # grid-point-steps/s: grid columns x levels x GCM leapfrog steps
+    # (BASELINE.md's grid-points/s scaling metric)
+    g = geom
+    gps = g.nlat * g.nlon * g.nlev * hyb.gcm_steps * n_cycles / elapsed
+
+    breakdown = {
+        "hybrid_sim_years_per_day": round(sim_years_per_day, 3),
+        "cycle_ms": round(cycle_ms, 3),
+        "grid_point_steps_per_s": round(gps, 1),
+        "m": m, "n_regions": 1152, "device": str(jax.devices()[0]),
+        "n_cycles": n_cycles,
+    }
+
+    if os.environ.get("BENCH_PIECES"):
+        # per-piece ms (each an extra compile; off for the driver run)
+        params = hyb.params
+        packs, _ = hyb._with_params(params)
+        f_pred = jax.jit(lambda prm, hs: hyb.predict_all(
+            hyb._with_params(prm)[0], hs))
+        f_asm = jax.jit(lambda prm, ov: hyb.assemble_global(
+            hyb._with_params(prm)[0], ov))
+        f_inj = jax.jit(lambda a, l: hyb.inject_to_speedy(a, l))
+        f_fb = jax.jit(lambda prm, a, l, p, s, t: hyb.build_feedback(
+            hyb._with_params(prm)[0], a, l, p, s, t))
+
+        def timeit(fn, *a, reps=10):
+            out = fn(*a)
+            float(jnp.abs(jax.tree_util.tree_leaves(out)[0]).sum())
+            t1 = time.time()
+            for _ in range(reps):
+                out = fn(*a)
+            float(jnp.abs(jax.tree_util.tree_leaves(out)[0]).sum())
+            return (time.time() - t1) / reps * 1000.0
+
+        breakdown["predict_all_ms"] = round(timeit(f_pred, params, cur), 3)
+        log("bench: predict timed")
+        _, outvecs = f_pred(params, cur)
+        breakdown["assemble_ms"] = round(timeit(f_asm, params, outvecs), 3)
+        atmo, logp, precip = f_asm(params, outvecs)
+        breakdown["inject_ms"] = round(timeit(f_inj, atmo, logp), 3)
+        log("bench: inject timed")
+        spec, _ = f_inj(atmo, logp)
+        breakdown["speedy_window_ms"] = round(timeit(
+            lambda: hyb.speedy_window(spec, cur.sst_grid, imon, fmon,
+                                      tyear)), 3)
+        log("bench: speedy window timed")
+        tisr = hyb.tisr_field(tyear)
+        breakdown["build_feedback_ms"] = round(timeit(
+            f_fb, params, atmo, logp, precip, cur.sst_grid, tisr), 3)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_BREAKDOWN.json"), "w") as fo:
+        json.dump(breakdown, fo, indent=1)
 
     print(json.dumps({
         "metric": "hybrid_sim_years_per_day",

@@ -39,6 +39,16 @@ from speedy_ml_tpu.physics.boundaries import (load_boundary_data,
                                               synthetic_boundary_data)
 
 t_all = time.time()
+# persistent XLA compile cache: the tunneled backend's remote compile
+# of the full cycle costs many minutes; repeats load in seconds
+import os
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 geom = Geometry()                       # T30 production grid
 DT = jnp.float32
 sht = SpectralTransform(geom, dtype=DT)

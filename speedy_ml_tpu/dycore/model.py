@@ -480,7 +480,14 @@ class DycoreModel:
 
         aux = None
         if physics_fn is not None:
-            out = physics_fn(state, j1 - 1, self, *physics_args)
+            # physics ALWAYS evaluates at time level 1 (index 0), the
+            # Robert-filtered center — the reference hardwires
+            # grtend(..., J1=1, j2) for every step (dyn_step.f90:45).
+            # Evaluating at the new leapfrog level instead couples the
+            # dissipative physics to the computational mode: a 2*dt
+            # vertical zig-zag grows at convective columns and blows up
+            # T30 integrations after ~20-110 simulated days.
+            out = physics_fn(state, 0, self, *physics_args)
             if isinstance(out, tuple) and not isinstance(out, GridTendencies):
                 ptend, aux = out
             else:
