@@ -78,7 +78,7 @@ class GCM:
                  constants: PhysicalConstants = PhysicalConstants(),
                  dtype=jnp.float32, bc_path: Optional[str] = None,
                  nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
-                 sppt_on: bool = False, zonal: str = "fft"):
+                 sppt_on: bool = False, zonal: str = "dft"):
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)

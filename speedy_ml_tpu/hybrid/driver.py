@@ -79,7 +79,8 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                    stop_if_unsafe: bool = True,
                    timestep_hours: int = 6,
                    sst_bias_per_year: float = 0.0,
-                   truth_provider=None):
+                   truth_provider=None,
+                   time_mean_path: str | None = None):
     """Run `n_cycles` hybrid 6-h cycles from `hstate`.
 
     Returns (final state, list of dates).  Stops early if the SPEEDY
@@ -93,6 +94,13 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
     from speedy_ml_tpu.data.calendar import hour_of_year_365
 
     writer = PredictionWriter(output_path) if output_path else None
+    tmean = None
+    if time_mean_path:
+        # monthly sigma->p time-mean products alongside the stream
+        # (ppo_tminc/ppo_tmout; timemean.py)
+        from speedy_ml_tpu.timemean import TimeMeanAccumulator
+        tmean = TimeMeanAccumulator(hyb.gcm.geom,
+                                    phis=np.asarray(hyb.gcm.bd.phis0))
     date = start_date
     dates = []
     params = hyb.params
@@ -122,6 +130,12 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                 tr = truth_provider(i)
                 diag = dict(diag, **{f"truth_{k}": v for k, v in tr.items()})
             writer.append(diag, hstate.sst_grid)
+        if tmean is not None:
+            tmean.add(dates[-1], np.asarray(diag["atmo"]),
+                      np.asarray(diag["logp"]), np.asarray(diag["precip"]),
+                      np.asarray(hstate.sst_grid))
     if writer:
         writer.consolidate()
+    if tmean is not None:
+        tmean.save(time_mean_path)
     return hstate, dates

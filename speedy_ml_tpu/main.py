@@ -179,7 +179,8 @@ def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
     hstate, dates = run_prediction(
         hyb, hstate, start_date, n_cycles, output_path=out,
         timestep_hours=cfg.timestep_hours,
-        sst_bias_per_year=cfg.sst_bias)
+        sst_bias_per_year=cfg.sst_bias,
+        time_mean_path=f"{cfg.output_path}/time_means.npz")
     print(f"{len(dates)} cycles -> {out}.npz (safe={bool(hstate.safe)})")
     return hstate, dates
 

@@ -117,3 +117,28 @@ def test_config_main_train_predict(tmp_path):
 def dataclasses_replace_m(hyper, m):
     import dataclasses
     return dataclasses.replace(hyper, m=m, noise_mag=0.05)
+
+
+@pytest.mark.slow
+def test_time_mean_stream(hyb, tmp_path):
+    """run_prediction(time_mean_path=...) writes monthly sigma->p means
+    consistent with the prediction stream (ppo_tminc/tmout wiring)."""
+    from speedy_ml_tpu.timemean import monthly_means_from_stream
+    hyb.emit_components = False
+    sst0 = jnp.full((GEOM.nlat, GEOM.nlon), 290.0, dtype=jnp.float64)
+    hstate = hyb.init_state(sst0)
+    out = tmp_path / "pred.npz"
+    tm = tmp_path / "tm.npz"
+    start = ModelDate(1990, 3, 31)       # crosses a month edge in 2 days
+    hstate, dates = run_prediction(hyb, hstate, start, 8,
+                                   output_path=str(out),
+                                   time_mean_path=str(tm))
+    z = np.load(tm)
+    assert list(z["month"]) == [3, 4]
+    assert z["t_p"].shape[1:] == (GEOM.nlev, GEOM.nlat, GEOM.nlon)
+    # must equal the post-hoc builder applied to the written stream
+    months = monthly_means_from_stream(str(out), start, GEOM)
+    np.testing.assert_allclose(z["t_p"][0], months[0]["t_p"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(z["ps"][1], months[1]["ps"],
+                               rtol=1e-5, atol=1e-5)
