@@ -53,6 +53,13 @@ def synth_truth(seed, T, nlat, nlon, nz):
 
 
 def main():
+    import os
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     layout = RegionLayout(GEOM, n_regions=1152, overlap=1)
     truth = synth_truth(0, T, GEOM.nlat, GEOM.nlon, NZ)
     model = dict(atmo=truth["atmo"] + 0.1, logp=truth["logp"])
@@ -84,7 +91,12 @@ def main():
                unit="region-pairs/s",
                wall_s=round(wall, 1), n_samples=T, regions=total_regions,
                m=6000, region_chunk=REGION_CHUNK,
-               est_full_26y_train_hours=round(est_full_s / 3600, 2))
+               est_full_26y_train_hours=round(est_full_s / 3600, 2),
+               device=str(jax.devices()[0]))
+    import os
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TRAIN_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

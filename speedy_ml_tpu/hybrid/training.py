@@ -274,6 +274,7 @@ def train_ocean_class(layout: RegionLayout, cls, atmo_pack, hyper, key,
 def train_hybrid(gcm, layout: RegionLayout, truth: dict,
                  model: Optional[dict], hyper: ESNHyper, key,
                  ocean: bool = False, ocean_hyper=None,
+                 hybrid_ocean: bool = False,
                  num_vert_levels: int = 1, vert_overlap: int = 0,
                  **kw) -> HybridAtmosphere:
     """Train every region class and assemble the hybrid atmosphere.
@@ -311,7 +312,8 @@ def train_hybrid(gcm, layout: RegionLayout, truth: dict,
                 layout, cls, p, ocean_hyper,
                 jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
                 truth=truth, dtype=kw.get("dtype", jnp.float32),
-                topology=kw.get("topology", "shift")))
+                topology=kw.get("topology", "shift"),
+                hybrid_ocean=hybrid_ocean))
         # land points of the ML SST grid get the training-period mean SST
         # (base_sst_grid, initialize_prediction:845-885); mask: land where
         # the boundary land fraction exceeds the sea threshold
