@@ -99,6 +99,12 @@ for topology in ("shift", "random"):
                                   dtype=DT, topology=topology)
     t_train = time.time() - t0
     print(f"[{topology}] trained m={M} in {t_train:.0f}s", flush=True)
+    for p in hyb.packs:
+        w = np.asarray(jnp.abs(p.res.wout).max())
+        wm = np.asarray(jnp.abs(p.res.wout).mean())
+        print(f"[{topology}]   class {p.cls.name}: |wout|max {w:.3e} "
+              f"mean {wm:.3e} finite={bool(np.isfinite(np.asarray(p.res.wout)).all())}",
+              flush=True)
 
     @jax.jit
     def baseline_init(atmo, logp):

@@ -191,7 +191,8 @@ def discard_transient(res: BatchedReservoir, hyper: ESNHyper,
     return x
 
 
-def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
+def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
+               solve_dtype=None) -> jnp.ndarray:
     """Ridge solve for Wout (fit_chunk_hybrid, mod_reservoir.f90:1233-1332).
 
     Regularization: beta_model^2 on the SPEEDY block diagonal, beta_res^2
@@ -199,6 +200,13 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
     reference config); the prior adds prior_val*beta_model^2 to the RHS
     diagonal of the SPEEDY block."""
     R, A, _ = eq.ss.shape
+    out_dtype = eq.ss.dtype
+    if solve_dtype is not None and solve_dtype != eq.ss.dtype:
+        # near-singular Grams (few samples vs A, or degenerate polar/
+        # night columns) can make the f32 LU fit astronomically large
+        # Wout; promoting just the solve is cheap relative to training
+        eq = NormalEq(ss=eq.ss.astype(solve_dtype),
+                      st=eq.st.astype(solve_dtype))
     if hyper.using_prior:
         bm, br = hyper.beta_model**2, hyper.beta_res**2
     else:
@@ -227,7 +235,8 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int) -> jnp.ndarray:
     # sequential over regions (lax.map, not vmap): the TPU LU kernel's
     # scoped VMEM scales with the batch and overflows at production
     # A~6000 x 16 regions; the solve is a tiny fraction of training time
-    return jax.lax.map(lambda args: solve_one(*args), (ss, st))
+    out = jax.lax.map(lambda args: solve_one(*args), (ss, st))
+    return out.astype(out_dtype)
 
 
 def solve_wout_sharded(eq: NormalEq, hyper: ESNHyper, n_speedy: int,

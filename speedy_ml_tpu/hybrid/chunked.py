@@ -298,6 +298,7 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                            topology: str = "shift",
                            std: Optional[Standardizer] = None,
                            hybrid: bool = True,
+                           solve_dtype=None,
                            progress=None) -> ClassPack:
     """Region-chunked + time-streamed train_class (production scale).
 
@@ -391,7 +392,7 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
     advance, accumulate = _chunk_accumulators(
         hyper, shifts, std.in_mean.shape[1],
         cols=None if shifts is not None else cols, onehots=oh)
-    solve = jax.jit(solve_wout, static_argnums=(1, 2))
+    solve = jax.jit(solve_wout, static_argnums=(1, 2, 3))
 
     for r0 in range(0, Rc, region_chunk):
         r1 = min(r0 + region_chunk, Rc)
@@ -451,7 +452,7 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                     progress(r0, s, pos)
 
         wout_ch = solve(NormalEq(ss=ss, st=st), hyper,
-                        S if hybrid else 0)
+                        S if hybrid else 0, solve_dtype)
         wout_parts.append(np.asarray(wout_ch))
         del ss, st
 
