@@ -22,6 +22,14 @@ Protocol:
 Usage: python scripts/skill_experiment_production.py [n_train] [m]
 Writes SKILL_PROD_RESULT.json (one entry per topology) and prints
 progress lines.
+
+NOTE on scale: n_train must comfortably exceed the readout dimension
+A = S + n (m=3000 -> A = 3012): an underdetermined ridge readout at the
+reference's tiny beta_res^2 = 1e-6 interpolates the training set with
+|Wout| ~ 1e4-1e5 and zero robustness — the hybrid diverges on the first
+cycle.  The reference trains 227,760 pairs against A ~ 5,892 (38x);
+default here is 4400 x A=3012 (1.5x), the largest this round's wall
+clock allows.
 """
 import sys, time, json, dataclasses
 sys.path.insert(0, "/root/repo")
@@ -96,14 +104,16 @@ for topology in ("shift", "random"):
     hyb = train_hybrid_production(gcm_imp, layout, src, hyper,
                                   jax.random.key(0), hybrid=True,
                                   region_chunk=96, time_chunk=256,
-                                  dtype=DT, topology=topology)
+                                  dtype=DT, topology=topology,
+                                  solve_dtype=jnp.float64)
     t_train = time.time() - t0
     print(f"[{topology}] trained m={M} in {t_train:.0f}s", flush=True)
     for p in hyb.packs:
-        w = np.asarray(jnp.abs(p.res.wout).max())
-        wm = np.asarray(jnp.abs(p.res.wout).mean())
-        print(f"[{topology}]   class {p.cls.name}: |wout|max {w:.3e} "
-              f"mean {wm:.3e} finite={bool(np.isfinite(np.asarray(p.res.wout)).all())}",
+        wmax = float(jnp.abs(p.res.wout).max())
+        wmean = float(jnp.abs(p.res.wout).mean())
+        print(f"[{topology}]   class {p.cls.name}: |wout|max {wmax:.3e} "
+              f"mean {wmean:.3e} "
+              f"finite={bool(np.isfinite(np.asarray(p.res.wout)).all())}",
               flush=True)
 
     @jax.jit
@@ -162,6 +172,9 @@ for topology in ("shift", "random"):
     print(f"[{topology}] mean T-RMSE hybrid {eh.mean():.3f} vs speedy "
           f"{es.mean():.3f}; beats at all leads: {(eh < es).all()}",
           flush=True)
+    # checkpoint after each arm so a timeout still leaves results
+    with open("/root/repo/SKILL_PROD_RESULT.json", "w") as f:
+        json.dump(results, f, indent=1)
 
 results["meta"] = dict(geometry="T30 96x48x8", n_regions=1152,
                        protocol="hybrid_climo.py rms, cos-lat weighted",

@@ -92,13 +92,40 @@ def core_component_map(nx: int, ny: int, nvar: int, nz_in: int,
     return out.astype(np.int32)
 
 
+def floor_component_std(std_c: jnp.ndarray, nvar: int, nz: int,
+                        frac: float = 0.01) -> jnp.ndarray:
+    """Per-variable relative floor on component stds (R, C).
+
+    Near-constant components (stratospheric humidity in a nature run,
+    desert precipitation, polar-night TISR) get tiny stds; standardized
+    model errors there reach z ~ 1e3-1e5 and the prediction cycle's
+    local-model feedback amplifies them into a runaway.  Each atmo
+    component's std is floored at `frac` of its VARIABLE's largest
+    median-over-regions level std; 2-D fields floor against their own
+    median over regions (tames regionally-degenerate components while
+    leaving well-conditioned ones untouched).  The reference never hits
+    this because ERA5 truth gives every component real variance."""
+    med = jnp.median(std_c, axis=0)                      # (C,)
+    floors = []
+    for v in range(nvar):
+        scale_v = jnp.max(med[v * nz:(v + 1) * nz])
+        floors.append(jnp.full((nz,), frac * scale_v))
+    n2d = std_c.shape[1] - nvar * nz
+    floors.append(frac * med[nvar * nz:])
+    floor_c = jnp.concatenate(floors)
+    return jnp.maximum(std_c, floor_c[None, :])
+
+
 def compute_standardizer(series: jnp.ndarray, comp_map_in: np.ndarray,
-                         comp_map_out: np.ndarray, n_comp: int) -> Standardizer:
+                         comp_map_out: np.ndarray, n_comp: int,
+                         nvar_nz=None, std_floor: float = 0.01
+                         ) -> Standardizer:
     """Fit per-component mean/std from a packed input series (T, R, I).
 
     The statistics pool all elements sharing a component (all gridpoints
     of one variable/level in the region, over time), as the reference's
-    standardize_data overloads do."""
+    standardize_data overloads do.  nvar_nz, when given as (nvar, nz),
+    applies the per-variable relative std floor (floor_component_std)."""
     T, R, I = series.shape
     cm = jnp.asarray(comp_map_in)
     onehot = jax.nn.one_hot(cm, n_comp, dtype=series.dtype)      # (I, C)
@@ -110,6 +137,8 @@ def compute_standardizer(series: jnp.ndarray, comp_map_in: np.ndarray,
     # constant components (frozen polar SST, dry-region precip) must
     # standardize to ~0, not blow up through a ~0 std: unit std there
     std_c = jnp.where(var_c < 1e-12, 1.0, jnp.sqrt(jnp.maximum(var_c, 0.0)))
+    if nvar_nz is not None:
+        std_c = floor_component_std(std_c, *nvar_nz, frac=std_floor)
     in_mean = mean_c[:, cm]
     in_std = std_c[:, cm]
     cmo = jnp.asarray(comp_map_out)

@@ -201,12 +201,17 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
     diagonal of the SPEEDY block."""
     R, A, _ = eq.ss.shape
     out_dtype = eq.ss.dtype
-    if solve_dtype is not None and solve_dtype != eq.ss.dtype:
+    if solve_dtype is not None and jnp.dtype(solve_dtype) != eq.ss.dtype:
         # near-singular Grams (few samples vs A, or degenerate polar/
-        # night columns) can make the f32 LU fit astronomically large
-        # Wout; promoting just the solve is cheap relative to training
-        eq = NormalEq(ss=eq.ss.astype(solve_dtype),
-                      st=eq.st.astype(solve_dtype))
+        # night columns) make the f32 LU fit astronomically large Wout
+        # (|Wout| ~ 3e4 with NaNs at T30 real data); the reference solves
+        # in full f64 (real*8 + DGESV).  Promote JUST the solve — scoped
+        # x64 so the f32 model (and its complex64 spectral arrays, which
+        # the TPU backend cannot upcast) is untouched.
+        with jax.enable_x64():
+            eq64 = NormalEq(ss=eq.ss.astype(solve_dtype),
+                            st=eq.st.astype(solve_dtype))
+            return solve_wout(eq64, hyper, n_speedy).astype(out_dtype)
     if hyper.using_prior:
         bm, br = hyper.beta_model**2, hyper.beta_res**2
     else:

@@ -179,7 +179,8 @@ def gather_pack_inputs(chunk_truth: dict, iy, ix, precip_eps: float,
 
 def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
                            time_chunk: int = 512, precip_eps: float = 0.001,
-                           dtype=jnp.float32) -> Standardizer:
+                           dtype=jnp.float32,
+                           std_floor: float = 0.01) -> Standardizer:
     """Per-component mean/std over the full series without materializing
     it (the streaming twin of esn.standardize.compute_standardizer)."""
     xi, yi = cls.input_shape
@@ -219,6 +220,9 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
     var_c = s2 / cnt - mean_c**2
     # constant components standardize to ~0, not through a ~0 std
     std_c = jnp.where(var_c < 1e-12, 1.0, jnp.sqrt(jnp.maximum(var_c, 0.0)))
+    if std_floor:
+        from speedy_ml_tpu.esn.standardize import floor_component_std
+        std_c = floor_component_std(std_c, NVAR, nz, frac=std_floor)
     cmo = jnp.asarray(comp_out)
     return Standardizer(comp_mean=mean_c, comp_std=std_c,
                         in_mean=mean_c[:, cm], in_std=std_c[:, cm],

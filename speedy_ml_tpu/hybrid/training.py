@@ -108,7 +108,8 @@ def class_standardizer(layout: RegionLayout, cls, series: jnp.ndarray,
     comp_out = core_component_map(xc, yc, NVAR, nz_in, nz_core, z_off,
                                   logp=b["logp"], precip=b["precip"])
     nc = n_components(NVAR, nz_in, **b)
-    return compute_standardizer(series, comp_in, comp_out, nc)
+    return compute_standardizer(series, comp_in, comp_out, nc,
+                                nvar_nz=(NVAR, nz_in))
 
 
 def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],

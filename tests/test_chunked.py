@@ -164,7 +164,7 @@ def test_streaming_standardizer_matches(layout):
     co = component_expansion(xc, yc, 4, NZ, logp=True, precip=True,
                              sst=False, tisr=False)
     nc = n_components(4, NZ, logp=True, precip=True, sst=True, tisr=True)
-    std_r = compute_standardizer(series, ci, co, nc)
+    std_r = compute_standardizer(series, ci, co, nc, nvar_nz=(4, NZ))
     np.testing.assert_allclose(np.asarray(std_s.comp_mean),
                                np.asarray(std_r.comp_mean), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(std_s.comp_std),
