@@ -222,7 +222,10 @@ def qbo_section(u: np.ndarray, lat: np.ndarray,
     """Equatorial zonal-mean zonal wind (T, K): the time-height section
     whose downward-propagating reversals are the QBO
     (stratosphere_climo.py qbo_plot:385-421)."""
-    m = np.abs(np.asarray(lat)) <= lat_band
-    w = np.cos(np.deg2rad(np.asarray(lat)[m]))
+    la = np.asarray(lat)
+    m = np.abs(la) <= lat_band
+    if not m.any():        # coarse grids: fall back to the two rows
+        m = np.abs(la) <= np.sort(np.abs(la))[1]  # straddling the equator
+    w = np.cos(np.deg2rad(la[m]))
     uz = zonal_mean(u)[..., m]                      # (T, K, lat_band)
     return (uz * w).sum(axis=-1) / w.sum()

@@ -7,6 +7,7 @@ The reference's single binary dispatches on trained_model
     python -m speedy_ml_tpu.main train   config.json
     python -m speedy_ml_tpu.main predict config.json
     python -m speedy_ml_tpu.main run     config.json   # train then predict
+    python -m speedy_ml_tpu.main plot    config.json   # figures from output
 
 Data comes from cfg.era_path (yearly ERA5 files) or, when absent, from a
 self-generated nature run (self-contained operation for development).
@@ -185,13 +186,62 @@ def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
     return hstate, dates
 
 
+def plot(cfg: RunConfig) -> list:
+    """Render the standard verification figure set from a finished
+    prediction stream ({output_path}/prediction.npz) into
+    {output_path}/figures/ — the CLI face of the reference's scripts/
+    plotting suite (hybrid_climo.py, enso_hybrid.py, sst_maps.py,
+    stratosphere_climo.py, extreme_values.py)."""
+    import os
+
+    from speedy_ml_tpu import analysis, plots
+
+    pred = analysis.load_prediction(f"{cfg.output_path}/prediction.npz")
+    geom = cfg.build_gcm().geom
+    lat = np.rad2deg(np.asarray(geom.lat_radians))
+    lon = np.arange(geom.nlon) * 360.0 / geom.nlon
+    sigma = np.linspace(0.05, 0.95, geom.nlev)
+    fig_dir = f"{cfg.output_path}/figures"
+    os.makedirs(fig_dir, exist_ok=True)
+    spy = max(1, 8760 // cfg.timestep_hours)
+    dt_days = cfg.timestep_hours / 24.0
+    atmo, sst, precip = pred["atmo"], pred["sst"], pred["precip"]
+    t_sfc, u = atmo[:, 0, -1], atmo[:, 1]
+    w = np.cos(np.deg2rad(lat))[:, None]
+    tmean = (t_sfc * w).sum(axis=(-2, -1)) / (w.sum() * geom.nlon)
+    done = [
+        plots.trend_figure(tmean, dt_days, smooth=min(len(tmean), 28),
+                           path=f"{fig_dir}/global_mean_t.png"),
+        plots.zonal_mean_section(u.mean(axis=0), lat, sigma,
+                                 path=f"{fig_dir}/zonal_mean_u.png"),
+        plots.qbo_figure(u, lat, sigma, dt_days,
+                         path=f"{fig_dir}/qbo_section.png"),
+        plots.precip_extreme_map(precip, lat, lon,
+                                 path=f"{fig_dir}/precip_extremes.png"),
+        plots.sst_anomaly_map(sst[-1], sst.mean(axis=0), lat, lon,
+                              path=f"{fig_dir}/sst_anomaly.png"),
+    ]
+    if len(sst) >= 2 * spy:      # seasonal climatology needs >= 2 years
+        nino = analysis.nino34_index(sst, lat, lon, spy)
+        done.append(plots.nino34_figure(
+            sst, lat, lon, spy, path=f"{fig_dir}/nino34.png"))
+        done.append(plots.wavelet_figure(
+            nino, dt_days, path=f"{fig_dir}/nino34_wavelet.png"))
+    print(f"{len(done)} figures -> {fig_dir}/")
+    return done
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 2 or argv[0] not in ("train", "predict", "run"):
+    if len(argv) != 2 or argv[0] not in ("train", "predict", "run",
+                                         "plot"):
         print(__doc__)
         return 2
     mode, cfg_path = argv
     cfg = RunConfig.load(cfg_path)
+    if mode == "plot":
+        plot(cfg)
+        return 0
     hyb = None
     if mode in ("train", "run"):
         hyb = train(cfg)
