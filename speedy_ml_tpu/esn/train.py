@@ -192,7 +192,7 @@ def discard_transient(res: BatchedReservoir, hyper: ESNHyper,
 
 
 def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
-               solve_dtype=None) -> jnp.ndarray:
+               solve_dtype=None, _spd: bool = False) -> jnp.ndarray:
     """Ridge solve for Wout (fit_chunk_hybrid, mod_reservoir.f90:1233-1332).
 
     Regularization: beta_model^2 on the SPEEDY block diagonal, beta_res^2
@@ -211,7 +211,8 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
         with jax.enable_x64():
             eq64 = NormalEq(ss=eq.ss.astype(solve_dtype),
                             st=eq.st.astype(solve_dtype))
-            return solve_wout(eq64, hyper, n_speedy).astype(out_dtype)
+            return solve_wout(eq64, hyper, n_speedy,
+                              _spd=True).astype(out_dtype)
     if hyper.using_prior:
         bm, br = hyper.beta_model**2, hyper.beta_res**2
     else:
@@ -234,7 +235,19 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
     def solve_one(ssr, str_):
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(ssr), 1e-30))
         ssn = ssr / d[:, None] / d[None, :]
-        z = jnp.linalg.solve(ssn, (str_ / d[None, :]).T)
+        b = (str_ / d[None, :]).T
+        if _spd:
+            # promoted-precision path: the TPU backend has NO f64
+            # LuDecomposition ("Only F32 and C64 types are implemented")
+            # and Cholesky NaNs here — the f32-accumulated Gram carries
+            # ~eps32-relative noise that leaves the normalized matrix
+            # slightly INDEFINITE (min eig ~ -1e-7) when near-singular.
+            # QR expands to dtype-generic HLO on TPU and, like LU with
+            # pivoting, is indifferent to definiteness.
+            q, r = jnp.linalg.qr(ssn)
+            z = jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
+        else:
+            z = jnp.linalg.solve(ssn, b)
         return (z / d[:, None]).T
 
     # sequential over regions (lax.map, not vmap): the TPU LU kernel's
