@@ -181,6 +181,15 @@ results["meta"] = dict(geometry="T30 96x48x8", n_regions=1152,
                        wall_s=round(time.time() - t_all, 1))
 with open("/root/repo/SKILL_PROD_RESULT.json", "w") as f:
     json.dump(results, f, indent=1)
+try:
+    from speedy_ml_tpu import plots
+    r = results["shift"]
+    plots.skill_figure(np.array(r["lead_days"]),
+                       np.array(r["hybrid_rmse"]),
+                       np.array(r["speedy_rmse"]),
+                       path="/root/repo/SKILL_PROD_FIG.png")
+except Exception as e:                      # figure is best-effort
+    print(f"skill figure skipped: {e}", flush=True)
 print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "per_ic"}
                   if isinstance(v, dict) and "per_ic" in v else v
                   for k, v in results.items()}))
