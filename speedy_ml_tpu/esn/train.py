@@ -192,7 +192,7 @@ def discard_transient(res: BatchedReservoir, hyper: ESNHyper,
 
 
 def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
-               solve_dtype=None, _spd: bool = False) -> jnp.ndarray:
+               solve_dtype=None) -> jnp.ndarray:
     """Ridge solve for Wout (fit_chunk_hybrid, mod_reservoir.f90:1233-1332).
 
     Regularization: beta_model^2 on the SPEEDY block diagonal, beta_res^2
@@ -201,7 +201,9 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
     diagonal of the SPEEDY block."""
     R, A, _ = eq.ss.shape
     out_dtype = eq.ss.dtype
-    if solve_dtype is not None and jnp.dtype(solve_dtype) != eq.ss.dtype:
+    promote = (solve_dtype is not None
+               and jnp.dtype(solve_dtype) != eq.ss.dtype)
+    if promote and not jax.config.jax_enable_x64:
         # near-singular Grams (few samples vs A, or degenerate polar/
         # night columns) make the f32 LU fit astronomically large Wout
         # (|Wout| ~ 3e4 with NaNs at T30 real data); the reference solves
@@ -209,52 +211,53 @@ def solve_wout(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
         # x64 so the f32 model (and its complex64 spectral arrays, which
         # the TPU backend cannot upcast) is untouched.
         with jax.enable_x64():
-            eq64 = NormalEq(ss=eq.ss.astype(solve_dtype),
-                            st=eq.st.astype(solve_dtype))
-            return solve_wout(eq64, hyper, n_speedy,
-                              _spd=True).astype(out_dtype)
+            return solve_wout(eq, hyper, n_speedy, solve_dtype)
     if hyper.using_prior:
         bm, br = hyper.beta_model**2, hyper.beta_res**2
     else:
         bm, br = hyper.beta_model, hyper.beta_res
-    diag = jnp.where(jnp.arange(A) < n_speedy, bm, br)
-    ss = eq.ss + jnp.eye(A, dtype=eq.ss.dtype)[None] * diag
+    ridge = jnp.where(jnp.arange(A) < n_speedy, bm, br)
+    pv = (hyper.prior_val * hyper.beta_model**2
+          if hyper.using_prior and n_speedy > 0 else 0.0)
 
-    st = eq.st
-    if hyper.using_prior and n_speedy > 0 and hyper.prior_val != 0.0:
-        O = st.shape[1]
-        k = min(n_speedy, O)
-        pv = hyper.prior_val * hyper.beta_model**2
-        st = st.at[:, jnp.arange(k), jnp.arange(k)].add(pv)
-
-    # solve ss . Wout^T = st^T by LU with partial pivoting — the
-    # reference's exact solver (mldivide -> DGESV, mod_linalg.f90:109-151).
-    # LU stays finite on near-singular Grams (few samples vs n) where the
-    # TPU's f32 Cholesky produces NaN; Jacobi preconditioning (unit
-    # diagonal) further stabilizes f32 without changing the solution.
+    # solve (ss + ridge) . Wout^T = st^T — the reference's mldivide ->
+    # DGESV (mod_linalg.f90:109-151).  Promotion happens PER REGION
+    # inside the sequential map: casting the whole (R, A, A) batch to
+    # f64 up front doubles the Gram footprint (+7.6 GB at the
+    # production 96-region chunk, A=3156) and crashed the 16 GB chip.
+    # The ridge is also added after the cast — at f32 a 1e-6 ridge
+    # rounds away against O(1e3) Gram diagonals.
     def solve_one(ssr, str_):
+        if promote:
+            ssr = ssr.astype(solve_dtype)
+            str_ = str_.astype(solve_dtype)
+        ssr = ssr + jnp.diag(ridge.astype(ssr.dtype))
+        if pv != 0.0:
+            O = str_.shape[0]
+            k = min(n_speedy, O)
+            str_ = str_.at[jnp.arange(k), jnp.arange(k)].add(pv)
+        # Jacobi preconditioning (unit diagonal) stabilizes without
+        # changing the solution
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(ssr), 1e-30))
         ssn = ssr / d[:, None] / d[None, :]
         b = (str_ / d[None, :]).T
-        if _spd:
-            # promoted-precision path: the TPU backend has NO f64
-            # LuDecomposition ("Only F32 and C64 types are implemented")
-            # and Cholesky NaNs here — the f32-accumulated Gram carries
-            # ~eps32-relative noise that leaves the normalized matrix
-            # slightly INDEFINITE (min eig ~ -1e-7) when near-singular.
-            # QR expands to dtype-generic HLO on TPU and, like LU with
-            # pivoting, is indifferent to definiteness.
+        if promote:
+            # the TPU backend has NO f64 LuDecomposition ("Only F32 and
+            # C64 types are implemented") and Cholesky NaNs here — the
+            # f32-accumulated Gram carries ~eps32-relative noise that
+            # leaves the normalized matrix slightly INDEFINITE (min eig
+            # ~ -1e-7) when near-singular.  QR expands to dtype-generic
+            # HLO on TPU and, like pivoted LU, tolerates indefiniteness.
             q, r = jnp.linalg.qr(ssn)
             z = jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
         else:
             z = jnp.linalg.solve(ssn, b)
-        return (z / d[:, None]).T
+        return ((z / d[:, None]).T).astype(out_dtype)
 
     # sequential over regions (lax.map, not vmap): the TPU LU kernel's
     # scoped VMEM scales with the batch and overflows at production
     # A~6000 x 16 regions; the solve is a tiny fraction of training time
-    out = jax.lax.map(lambda args: solve_one(*args), (ss, st))
-    return out.astype(out_dtype)
+    return jax.lax.map(lambda args: solve_one(*args), (eq.ss, eq.st))
 
 
 def solve_wout_sharded(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
