@@ -114,6 +114,13 @@ def main():
             float(jnp.abs(jax.tree_util.tree_leaves(out)[0]).sum())
             return (time.time() - t1) / reps * 1000.0
 
+        # spectral-transform ms/chip (BASELINE.md target metric): one
+        # full-level batch of forward+inverse transforms, the unit the
+        # dycore calls ~100x per GCM step
+        sht_b = gcm.sht
+        f_spec = jax.jit(lambda g: sht_b.spec_to_grid(sht_b.grid_to_spec(g)))
+        gfield = jnp.zeros((geom.nlev, geom.nlat, geom.nlon), jnp.float32)
+        breakdown["spectral_roundtrip_ms"] = round(timeit(f_spec, gfield), 3)
         breakdown["predict_all_ms"] = round(timeit(f_pred, params, cur), 3)
         log("bench: predict timed")
         _, outvecs = f_pred(params, cur)

@@ -81,9 +81,13 @@ t0 = time.time()
 truth, snaps, dates = generate_nature_run(gcm_true, ModelDate(1990, 1, 1),
                                           N + 160, spinup_days=30)
 print(f"nature run ({N+80} samples): {time.time()-t0:.0f}s", flush=True)
+if not all(np.isfinite(np.asarray(v)).all() for v in truth.values()):
+    raise SystemExit("ABORT: nature run produced non-finite values")
 t0 = time.time()
 model = make_imperfect_forecasts(gcm_imp, truth, dates)
 print(f"imperfect forecasts: {time.time()-t0:.0f}s", flush=True)
+if not all(np.isfinite(np.asarray(v)).all() for v in model.values()):
+    raise SystemExit("ABORT: imperfect forecasts produced non-finite values")
 
 train_truth = {k: np.asarray(v[:N]) for k, v in truth.items()}
 train_model = {k: np.asarray(v[:N]) for k, v in model.items()}
