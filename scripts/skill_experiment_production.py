@@ -77,17 +77,32 @@ N_IC = 4
 NCYC = 56                                             # 14 days
 SYNC = 24
 
-t0 = time.time()
-truth, snaps, dates = generate_nature_run(gcm_true, ModelDate(1990, 1, 1),
-                                          N + 160, spinup_days=30)
-print(f"nature run ({N+80} samples): {time.time()-t0:.0f}s", flush=True)
-if not all(np.isfinite(np.asarray(v)).all() for v in truth.values()):
-    raise SystemExit("ABORT: nature run produced non-finite values")
-t0 = time.time()
-model = make_imperfect_forecasts(gcm_imp, truth, dates)
-print(f"imperfect forecasts: {time.time()-t0:.0f}s", flush=True)
-if not all(np.isfinite(np.asarray(v)).all() for v in model.values()):
-    raise SystemExit("ABORT: imperfect forecasts produced non-finite values")
+CACHE = f"/root/repo/output/skill_twin_N{N}.npz"
+dates = [ModelDate(1990, 1, 1).advance_hours(6 * i + 30 * 24)
+         for i in range(N + 160)]
+if os.path.exists(CACHE):
+    z = np.load(CACHE)
+    truth = {k[2:]: z[k] for k in z.files if k.startswith("t_")}
+    model = {k[2:]: z[k] for k in z.files if k.startswith("m_")}
+    print(f"loaded cached twin data ({CACHE})", flush=True)
+else:
+    t0 = time.time()
+    truth, snaps, gdates = generate_nature_run(
+        gcm_true, ModelDate(1990, 1, 1), N + 160, spinup_days=30)
+    dates = gdates
+    print(f"nature run ({N+160} samples): {time.time()-t0:.0f}s", flush=True)
+    if not all(np.isfinite(np.asarray(v)).all() for v in truth.values()):
+        raise SystemExit("ABORT: nature run produced non-finite values")
+    t0 = time.time()
+    model = make_imperfect_forecasts(gcm_imp, truth, dates)
+    print(f"imperfect forecasts: {time.time()-t0:.0f}s", flush=True)
+    if not all(np.isfinite(np.asarray(v)).all() for v in model.values()):
+        raise SystemExit("ABORT: imperfect forecasts produced non-finite")
+    os.makedirs("/root/repo/output", exist_ok=True)
+    np.savez(CACHE,
+             **{f"t_{k}": np.asarray(v) for k, v in truth.items()},
+             **{f"m_{k}": np.asarray(v) for k, v in model.items()})
+    print("cached twin data", flush=True)
 
 train_truth = {k: np.asarray(v[:N]) for k, v in truth.items()}
 train_model = {k: np.asarray(v[:N]) for k, v in model.items()}
@@ -103,13 +118,19 @@ def np_rmse(a, b):
 ICS = [N + 8 + i * 24 for i in range(N_IC)]   # all ICs fit NCYC + margin
 results = {}
 for topology in ("shift", "random"):
-    hyper = ESNHyper(m=M, deg=6, noise_mag=0.2)
+    # beta_res=0.05 (vs the reference's 0.001): with N/A ~ 1.5 the tiny
+    # reference ridge interpolates the training set, and squared it sits
+    # ~1e-9 relative to the Gram diagonal — below the f32 noise floor,
+    # which is what forced the emulated-f64 QR solve (235 s for TWO
+    # regions on the v5e; the 1,152-region solve tripped the TPU worker
+    # watchdog).  The stronger ridge is better-posed statistics AND
+    # keeps the whole solve in fast batched f32.
+    hyper = ESNHyper(m=M, deg=6, noise_mag=0.2, beta_res=0.05)
     t0 = time.time()
     hyb = train_hybrid_production(gcm_imp, layout, src, hyper,
                                   jax.random.key(0), hybrid=True,
                                   region_chunk=96, time_chunk=256,
-                                  dtype=DT, topology=topology,
-                                  solve_dtype=jnp.float64)
+                                  dtype=DT, topology=topology)
     t_train = time.time() - t0
     print(f"[{topology}] trained m={M} in {t_train:.0f}s", flush=True)
     for p in hyb.packs:
