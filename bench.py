@@ -43,7 +43,9 @@ def main():
 
     geom = Geometry()
     sht = SpectralTransform(geom, dtype=jnp.float32)
-    gcm = GCM(geom, dtype=jnp.float32, bd=_boundary(geom, sht))
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    gcm = GCM(geom, dtype=jnp.float32, bd=_boundary(geom, sht),
+              scan_unroll=unroll)
     log("bench: gcm built")
     # production-scale reservoirs: m=6000 -> n=5760/region, 1,152 regions
     m = int(os.environ.get("BENCH_M", "6000"))

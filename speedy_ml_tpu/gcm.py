@@ -78,7 +78,14 @@ class GCM:
                  constants: PhysicalConstants = PhysicalConstants(),
                  dtype=jnp.float32, bc_path: Optional[str] = None,
                  nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
-                 sppt_on: bool = False, zonal: str = "dft"):
+                 sppt_on: bool = False, zonal: str = "dft",
+                 scan_unroll: int = 1):
+        # scan_unroll: leapfrog steps unrolled per scan iteration.  The
+        # T30 step is ~100s of tiny kernels, so window wall-clock is
+        # launch/loop-overhead-bound on TPU; unrolling lets XLA fuse
+        # across steps (numerically identical, compile time grows with
+        # the factor).
+        self.scan_unroll = max(1, int(scan_unroll))
         self.geom = geom
         self.const = constants
         self.dtype = jnp.dtype(dtype)
@@ -254,7 +261,8 @@ class GCM:
         """`nsteps` leapfrog steps under one scan (a 6-h window = 24 steps)."""
         def body(s, _):
             return self.leapfrog(s, forcing), None
-        return jax.lax.scan(body, gstate, None, length=nsteps)[0]
+        u = self.scan_unroll if nsteps % self.scan_unroll == 0 else 1
+        return jax.lax.scan(body, gstate, None, length=nsteps, unroll=u)[0]
 
     # ------------------------------------------------------------------
 
