@@ -86,3 +86,24 @@ def test_t30_long_integration_stays_physical():
             assert np.abs(u).max() < 150.0, (w, np.abs(u).max())
             # bounded spectral-overshoot negatives only
             assert q.min() > -15.0 and q.max() < 40.0, (w, q.min(), q.max())
+
+
+def test_scan_unroll_is_bitwise_identical():
+    """run_window(scan_unroll=k) is the same program unrolled: results
+    must be bitwise equal to the unroll=1 window (the knob exists to cut
+    per-iteration launch overhead on TPU, not to change math).  Also
+    pins the fallback: nsteps not divisible by the factor uses unroll=1."""
+    geom = Geometry(trunc=10, nlon=32, nlat=16, nlev=8)
+    sht = SpectralTransform(geom, dtype=jnp.float32)
+    bd = synthetic_boundary_data(geom, sht)
+    date = ModelDate(1990, 7, 1)
+    outs = []
+    for unroll in (1, 4):
+        gcm = GCM(geom, dtype=jnp.float32, bd=bd, scan_unroll=unroll)
+        state, forcing = gcm.init_state(date)
+        state = gcm.stepone(state, forcing)
+        state = gcm.run_window(state, forcing, 8)
+        outs.append(np.asarray(gcm.sht.spec_to_grid(state.spectral.t[0])))
+        # non-divisible trip count must not error (falls back to 1)
+        gcm.run_window(state, forcing, 3)
+    np.testing.assert_array_equal(outs[0], outs[1])
