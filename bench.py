@@ -72,12 +72,36 @@ def main():
     log("bench: compiled; timing")
 
     n_cycles = int(os.environ.get("BENCH_CYCLES", "20"))
-    t0 = time.time()
-    cur = hstate
-    for _ in range(n_cycles):
-        cur, _ = hyb.cycle(cur, imon, fmon, tyear)
-    sync(cur)
-    elapsed = time.time() - t0
+    chain = int(os.environ.get("BENCH_CHAIN", "0"))
+    if chain:
+        # scan `chain` cycles inside ONE dispatch: removes the per-cycle
+        # host->device round trip (large on a tunneled chip) and is the
+        # production pattern when no per-cycle host observability is
+        # needed.  Throughput here is the device's true cycle rate.
+        import jax.lax as lax
+
+        @jax.jit
+        def run_chain(s):
+            def body(c, _):
+                c2, _ = hyb.cycle(c, imon, fmon, tyear)
+                return c2, None
+            return lax.scan(body, s, None, length=chain)[0]
+
+        cur = run_chain(hstate)        # compile + warm
+        sync(cur)
+        log("bench: chain compiled; timing")
+        t0 = time.time()
+        cur = run_chain(cur)
+        sync(cur)
+        elapsed = time.time() - t0
+        n_cycles = chain
+    else:
+        t0 = time.time()
+        cur = hstate
+        for _ in range(n_cycles):
+            cur, _ = hyb.cycle(cur, imon, fmon, tyear)
+        sync(cur)
+        elapsed = time.time() - t0
 
     sim_seconds = n_cycles * 6 * 3600.0
     sim_years_per_day = (sim_seconds / elapsed) * 86400.0 / (365.0 * 86400.0)
