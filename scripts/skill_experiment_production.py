@@ -19,7 +19,9 @@ Protocol:
   Gaussian-latitude cos weights instead of nanmean over the regular
   grid).
 
-Usage: python scripts/skill_experiment_production.py [n_train] [m]
+Usage: python scripts/skill_experiment_production.py [n_train] [m] [topos]
+(topos: comma list, default "shift,random"; results merge into an
+existing SKILL_PROD_RESULT.json so arms can run in separate invocations)
 Writes SKILL_PROD_RESULT.json (one entry per topology) and prints
 progress lines.
 
@@ -62,28 +64,57 @@ DT = jnp.float32
 sht = SpectralTransform(geom, dtype=DT)
 try:
     bd_true = load_boundary_data(geom, sht, path="/root/reference/bin")
+    BD_SRC = "refbin"
 except (FileNotFoundError, OSError):
     bd_true = synthetic_boundary_data(geom, sht)
+    BD_SRC = "synth"
 bd_imp = dataclasses.replace(bd_true, sst12=bd_true.sst12 + 3.0,
                              stl12=bd_true.stl12 + 3.0,
                              alb0=bd_true.alb0 * 2.0)
+# Twin-data cache fingerprint (ADVICE r3): bump whenever the GCM physics
+# / dynamics / data protocol changes in a way that alters the generated
+# truth or imperfect forecasts, so a stale cache can never be reused.
+#   v2 = post-504c7b5 (Robert-filtered physics evaluation) lineage.
+TWIN_DATA_VERSION = 2
 gcm_true = GCM(geom, dtype=DT, bd=bd_true)
 gcm_imp = GCM(geom, dtype=DT, bd=bd_imp)
 layout = RegionLayout(geom, n_regions=1152, overlap=1)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 2000   # 500 days of 6-h
 M = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+TOPOS = (sys.argv[3].split(",") if len(sys.argv) > 3
+         else ["shift", "random"])
 N_IC = 4
 NCYC = 56                                             # 14 days
 SYNC = 24
 
-CACHE = f"/root/repo/output/skill_twin_N{N}.npz"
-dates = [ModelDate(1990, 1, 1).advance_hours(6 * i + 30 * 24)
-         for i in range(N + 160)]
-if os.path.exists(CACHE):
-    z = np.load(CACHE)
+CACHE = f"/root/repo/output/skill_twin_N{N}_v{TWIN_DATA_VERSION}_{BD_SRC}.npz"
+# incremental date build (O(N) — advance_hours is O(days) per call);
+# mirrors exactly how generate_nature_run labels samples
+dates = [ModelDate(1990, 1, 1).advance_hours(30 * 24)]
+for _ in range(N + 160 - 1):
+    dates.append(dates[-1].advance_hours(6))
+
+
+def _load_cache(path):
+    """Load + re-validate a twin cache; a non-finite cache (written by an
+    older tool or interrupted run) is deleted so it regenerates."""
+    z = np.load(path)
     truth = {k[2:]: z[k] for k in z.files if k.startswith("t_")}
     model = {k[2:]: z[k] for k in z.files if k.startswith("m_")}
+    ok = (all(np.isfinite(v).all() for v in truth.values())
+          and all(np.isfinite(v).all() for v in model.values())
+          and truth["atmo"].shape[0] >= N + 160)
+    if not ok:
+        print(f"cache {path} failed validation; regenerating", flush=True)
+        os.remove(path)
+        return None
+    return truth, model
+
+
+cached = _load_cache(CACHE) if os.path.exists(CACHE) else None
+if cached is not None:
+    truth, model = cached
     print(f"loaded cached twin data ({CACHE})", flush=True)
 else:
     t0 = time.time()
@@ -117,7 +148,10 @@ def np_rmse(a, b):
 
 ICS = [N + 8 + i * 24 for i in range(N_IC)]   # all ICs fit NCYC + margin
 results = {}
-for topology in ("shift", "random"):
+if os.path.exists("/root/repo/SKILL_PROD_RESULT.json"):
+    with open("/root/repo/SKILL_PROD_RESULT.json") as f:
+        results = json.load(f)     # merge: arms may run in separate invocations
+for topology in TOPOS:
     # beta_res=0.05 (vs the reference's 0.001): with N/A ~ 1.5 the tiny
     # reference ridge interpolates the training set, and squared it sits
     # ~1e-9 relative to the Gram diagonal — below the f32 noise floor,
@@ -179,6 +213,10 @@ for topology in ("shift", "random"):
             errs_s.append(np_rmse(np.asarray(baseline_extract(state_imp)),
                                   tr))
         eh, es = np.array(errs_h), np.array(errs_s)
+        # a diverged eval forecast must abort loudly, never write NaN JSON
+        if not (np.isfinite(eh).all() and np.isfinite(es).all()):
+            raise SystemExit(f"ABORT: non-finite eval RMSE at IC {ic} "
+                             f"({topology})")
         per_ic.append(dict(ic=ic, hybrid=eh.tolist(), speedy=es.tolist()))
         print(f"[{topology}] IC {ic}: day1 {eh[3]:.3f}/{es[3]:.3f} "
               f"day3 {eh[11]:.3f}/{es[11]:.3f} day7 {eh[27]:.3f}/{es[27]:.3f} "
@@ -199,13 +237,13 @@ for topology in ("shift", "random"):
           flush=True)
     # checkpoint after each arm so a timeout still leaves results
     with open("/root/repo/SKILL_PROD_RESULT.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(results, f, indent=1, allow_nan=False)
 
 results["meta"] = dict(geometry="T30 96x48x8", n_regions=1152,
                        protocol="hybrid_climo.py rms, cos-lat weighted",
                        wall_s=round(time.time() - t_all, 1))
 with open("/root/repo/SKILL_PROD_RESULT.json", "w") as f:
-    json.dump(results, f, indent=1)
+    json.dump(results, f, indent=1, allow_nan=False)
 try:
     from speedy_ml_tpu import plots
     r = results["shift"]

@@ -50,12 +50,11 @@ class ModelDate:
 
     def advance_hours(self, hours: int) -> "ModelDate":
         d = ModelDate(self.year, self.month, self.day, self.hour)
-        for _ in range(hours):
-            d.hour += 1
-            if d.hour == 24:
-                d.hour = 0
-                nd = d.advance_day()
-                d.year, d.month, d.day = nd.year, nd.month, nd.day
+        total = d.hour + hours
+        d.hour = total % 24
+        for _ in range(total // 24):   # O(days), not O(hours)
+            nd = d.advance_day()
+            d.year, d.month, d.day = nd.year, nd.month, nd.day
         return d
 
     @property

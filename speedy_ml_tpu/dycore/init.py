@@ -36,7 +36,10 @@ def rest_state(model: DycoreModel, orog_geopotential: Optional[jnp.ndarray] = No
         phis = sht.trunct(phis)
     phis0 = sht.spec_to_grid(phis)
 
-    ccon = np.sqrt(2.0)
+    # Python float (weakly typed): an np.float64 scalar here makes the
+    # .at[].set/add scatters below an f64->f32 cast (FutureWarning, and
+    # an error in future JAX releases)
+    ccon = float(np.sqrt(2.0))
     tref_sfc, ttop = 288.0, 216.0
     gam2 = gam1 / tref_sfc
     rgam = c.rgas * gam1
