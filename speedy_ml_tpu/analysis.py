@@ -229,3 +229,199 @@ def qbo_section(u: np.ndarray, lat: np.ndarray,
     w = np.cos(np.deg2rad(la[m]))
     uz = zonal_mean(u)[..., m]                      # (T, K, lat_band)
     return (uz * w).sum(axis=-1) / w.sum()
+
+
+# ----------------------------------------------------------------------
+# sigma -> pressure climatology suite (scripts/hybrid_climo.py)
+# ----------------------------------------------------------------------
+
+SPEEDY_SIGMA = np.array([0.025, 0.095, 0.20, 0.34, 0.51, 0.685, 0.835,
+                         0.95])
+TARGET_PRESSURES = np.array([25.0, 95.0, 200.0, 350.0, 500.0, 680.0,
+                             850.0, 950.0])   # hPa (hybrid_climo.py:74)
+
+
+def sigma_to_pressure(var: np.ndarray, logp: np.ndarray,
+                      sigma: np.ndarray = SPEEDY_SIGMA,
+                      target: np.ndarray = TARGET_PRESSURES) -> np.ndarray:
+    """Linear interpolation from sigma levels to fixed pressure levels
+    (lin_interp, hybrid_climo.py:33-59), vectorized.
+
+    var: (T, K, lat, lon); logp: (T, lat, lon) with ps = exp(logp)*1000
+    hPa.  Values outside the column's pressure range clamp to the end
+    levels (np.interp semantics, matching the reference)."""
+    var = np.asarray(var)
+    ps = np.exp(np.asarray(logp)) * 1000.0          # hPa
+    p = sigma[None, :, None, None] * ps[:, None]    # (T, K, lat, lon)
+    T_, K, ny, nx = var.shape
+    out = np.empty((T_, len(target), ny, nx), dtype=var.dtype)
+    # per target level: bracketing sigma interval via searchsorted over
+    # the (sorted, increasing) per-column pressures
+    for li, pt in enumerate(np.asarray(target)):
+        idx = (p < pt).sum(axis=1)                  # first level with p>=pt
+        hi = np.clip(idx, 1, K - 1)
+        lo = hi - 1
+        tix = np.arange(T_)[:, None, None]
+        yix = np.arange(ny)[None, :, None]
+        xix = np.arange(nx)[None, None, :]
+        plo, phi = p[tix, lo, yix, xix], p[tix, hi, yix, xix]
+        vlo, vhi = var[tix, lo, yix, xix], var[tix, hi, yix, xix]
+        w = np.clip((pt - plo) / np.maximum(phi - plo, 1e-12), 0.0, 1.0)
+        out[:, li] = vlo + w * (vhi - vlo)
+    return out
+
+
+def doy_climatology(series: np.ndarray, samples_per_year: int) -> np.ndarray:
+    """Multi-year position-in-year climatology: mean over whole years of
+    the (samples_per_year, ...) stack (the year-accumulation loop of
+    hybrid_climo.py:95-125, 365-day model years)."""
+    s = np.asarray(series)
+    ny = s.shape[0] // samples_per_year
+    if ny < 1:
+        raise ValueError("series shorter than one year")
+    return s[:ny * samples_per_year].reshape(
+        (ny, samples_per_year) + s.shape[1:]).mean(axis=0)
+
+
+def season_indices(samples_per_day: int = 4) -> dict:
+    """Sample-index lists for DJF/MAM/JJA/SON on the 365-day calendar
+    (the month index blocks of hybrid_climo.py:224-243)."""
+    ndays = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    edges = np.cumsum([0] + ndays) * samples_per_day
+    month = [np.arange(edges[m], edges[m + 1]) for m in range(12)]
+    return dict(
+        djf=np.concatenate([month[11], month[0], month[1]]),
+        mam=np.concatenate(month[2:5]),
+        jja=np.concatenate(month[5:8]),
+        son=np.concatenate(month[8:11]),
+        annual=np.arange(edges[12]))
+
+
+def climo_bias_suite(pred: dict, truth: dict, samples_per_year: int,
+                     lat: np.ndarray,
+                     sigma: np.ndarray = SPEEDY_SIGMA) -> dict:
+    """Seasonal sigma->pressure climatology biases of a model run vs a
+    truth run (the hybrid_climo.py verification core).
+
+    pred/truth: dicts with atmo (T, 4, K, lat, lon) [T,u,v,q] and logp
+    (T, lat, lon).  Returns per-season zonal-mean bias sections for
+    T/u/q (n_plev, nlat), surface-pressure bias maps (lat, lon), and the
+    scalar RMS summary the reference prints (levels 2:-1, matching
+    hybrid_climo.py:289-301)."""
+    def prep(d):
+        plev = {}
+        for vi, name in enumerate(("t", "u", "q")):
+            v = d["atmo"][:, (0, 1, 3)[vi]]
+            plev[name] = sigma_to_pressure(v, d["logp"], sigma)
+        plev["ps"] = np.exp(np.asarray(d["logp"])) * 1000.0
+        return {k: doy_climatology(v, samples_per_year)
+                for k, v in plev.items()}
+
+    return climo_bias_from_climatology(prep(pred), prep(truth))
+
+
+def annual_precip_totals(precip: np.ndarray, samples_per_year: int,
+                         seconds_per_sample: float) -> np.ndarray:
+    """Per-gridpoint annual precipitation totals [mm/year] over whole
+    years (combined_precip_paper_fig.py histograms; precip in mm/s)."""
+    p = np.asarray(precip)
+    ny = p.shape[0] // samples_per_year
+    tot = p[:ny * samples_per_year].reshape(
+        (ny, samples_per_year) + p.shape[1:]).sum(axis=1)
+    return tot * seconds_per_sample
+
+
+# ----------------------------------------------------------------------
+# streaming access to multi-year prediction parts
+# ----------------------------------------------------------------------
+
+def prediction_part_paths(stem: str) -> list:
+    """Sorted .partN.npz chunk files of an unconsolidated prediction
+    stream (PredictionWriter with consolidate=False)."""
+    from pathlib import Path
+    p = Path(stem)
+    parts = sorted(p.parent.glob(p.stem + ".part*.npz"),
+                   key=lambda q: int(q.suffixes[-2][5:]))
+    if not parts and p.with_suffix(".npz").exists():
+        parts = [p.with_suffix(".npz")]
+    return parts
+
+
+def iter_prediction_parts(stem: str, keys=None):
+    """Yield dicts of numpy arrays per chunk file, in time order."""
+    for p in prediction_part_paths(stem):
+        z = np.load(p)
+        yield {k: z[k] for k in (keys or z.files)}
+
+
+def load_prediction_series(stem: str, key: str) -> np.ndarray:
+    """Concatenate ONE stream key across parts (use only for 2-D
+    fields; a 20-year atmo concat would exceed host RAM)."""
+    return np.concatenate([d[key] for d in
+                           iter_prediction_parts(stem, keys=[key])])
+
+
+def streaming_doy_climatology(stem: str, samples_per_year: int,
+                              sigma: np.ndarray = SPEEDY_SIGMA) -> dict:
+    """Day-of-year sigma->pressure climatology of a prediction stream,
+    accumulated part-by-part (the hybrid_climo.py accumulation without
+    materializing the multi-year series).
+
+    Returns dict with t/u/q (spy, n_plev, lat, lon), ps (spy, lat, lon)
+    and n_years."""
+    sums = None
+    counts = None
+    pos = 0
+    for d in iter_prediction_parts(stem, keys=["atmo", "logp"]):
+        atmo, logp = d["atmo"], d["logp"]
+        B = atmo.shape[0]
+        if sums is None:
+            ny, nx = logp.shape[1:]
+            P_ = len(TARGET_PRESSURES)
+            sums = {k: np.zeros((samples_per_year, P_, ny, nx))
+                    for k in ("t", "u", "q")}
+            sums["ps"] = np.zeros((samples_per_year, ny, nx))
+            counts = np.zeros(samples_per_year, dtype=np.int64)
+        plev = {name: sigma_to_pressure(atmo[:, vi], logp, sigma)
+                for vi, name in ((0, "t"), (1, "u"), (3, "q"))}
+        ps = np.exp(logp) * 1000.0
+        idx = (pos + np.arange(B)) % samples_per_year
+        for k in ("t", "u", "q"):
+            np.add.at(sums[k], idx, plev[k])
+        np.add.at(sums["ps"], idx, ps)
+        np.add.at(counts, idx, 1)
+        pos += B
+    if sums is None:
+        raise FileNotFoundError(f"no prediction parts at {stem}")
+    c = np.maximum(counts, 1)
+    out = {k: v / (c[:, None, None, None] if v.ndim == 4
+                   else c[:, None, None]) for k, v in sums.items()}
+    out["n_years"] = pos / samples_per_year
+    return out
+
+
+def climo_bias_from_climatology(cp: dict, ct: dict) -> dict:
+    """climo_bias_suite from precomputed doy climatologies (the
+    streaming twin; cp/ct from streaming_doy_climatology or
+    doy_climatology applied per variable)."""
+    spy = cp["ps"].shape[0]
+    seasons = season_indices(max(1, spy // 365))
+    # toy "years" shorter than 365 d (tests): keep in-range samples only
+    seasons = {k: v[v < spy] for k, v in seasons.items()}
+    out = {"target_pressures": TARGET_PRESSURES, "seasons": {}}
+    rms_all = {}
+    for sname, idx in seasons.items():
+        sdict = {}
+        for name in ("t", "u", "q"):
+            bias = cp[name][idx].mean(axis=0) - ct[name][idx].mean(axis=0)
+            sdict[f"{name}_bias_zonal"] = bias.mean(axis=-1)
+        sdict["ps_bias_map"] = (cp["ps"][idx].mean(axis=0)
+                                - ct["ps"][idx].mean(axis=0))
+        out["seasons"][sname] = sdict
+        if sname == "annual":
+            for name in ("t", "u", "q"):
+                a = cp[name][idx, 2:-1].mean(axis=(0, 3))
+                b = ct[name][idx, 2:-1].mean(axis=(0, 3))
+                rms_all[name] = float(np.sqrt(np.nanmean((a - b) ** 2)))
+    out["rms"] = rms_all
+    return out

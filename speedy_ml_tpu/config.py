@@ -70,6 +70,15 @@ class RunConfig:
     train_on_sst_anomalies: bool = False
     seed: int = 33                     # init_random_marker(33)
     sppt_on: bool = False              # mod_tsteps.f90:68
+    # coupling flags (mod_cpl_flags.f90): defaults = the reference's
+    # production setting; see physics.land_sea.CplFlags for the modes
+    icland: int = 1
+    icsea: int = 0
+    icice: int = 1
+    isstan: int = 0
+    # regional sea-model domains (cls_insea.h l_* flags); any of
+    # globe/northe/natlan/npacif/tropic/indian
+    sea_domains: tuple = ("globe",)
     # persist slab land/ice anomalies across 6-h cycles with a daily
     # coupler exchange — ON by default to match the reference, which
     # always carries them through restarts via fluxes.grd
@@ -125,9 +134,13 @@ class RunConfig:
                     bd = synthetic_boundary_data(geom, sht)
             else:
                 bd = synthetic_boundary_data(geom, sht)
+        from speedy_ml_tpu.physics.land_sea import CplFlags
+        flags = CplFlags(icland=self.icland, icsea=self.icsea,
+                         icice=self.icice, isstan=self.isstan,
+                         sea_domains=tuple(self.sea_domains))
         return GCM(geom, dtype=jnp.dtype(self.dtype),
                    bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd,
-                   sppt_on=self.sppt_on)
+                   sppt_on=self.sppt_on, cpl_flags=flags)
 
     def build_layout(self):
         from speedy_ml_tpu.esn.domain import RegionLayout

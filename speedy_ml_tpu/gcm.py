@@ -32,9 +32,10 @@ from speedy_ml_tpu.dycore.state import SpectralState
 from speedy_ml_tpu.physics.boundaries import BoundaryData, load_boundary_data
 from speedy_ml_tpu.physics.driver import (DailyForcing, FluxDiag,
                                           PhysicsModel, RadiationCarry)
-from speedy_ml_tpu.physics.land_sea import (SlabCoeffs, SurfaceState,
-                                            build_slab_coeffs,
-                                            init_surface_state, couple_daily)
+from speedy_ml_tpu.physics.land_sea import (CplFlags, SlabCoeffs,
+                                            SurfaceState, build_slab_coeffs,
+                                            couple_daily, init_surface_state,
+                                            sea_domain_mask, sstan_for_window)
 
 NSTRAD = 3   # shortwave radiation period in steps (mod_tsteps.f90:65)
 
@@ -79,7 +80,15 @@ class GCM:
                  dtype=jnp.float32, bc_path: Optional[str] = None,
                  nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
                  sppt_on: bool = False, zonal: str = "dft",
-                 scan_unroll: int = 1):
+                 scan_unroll: int = 1,
+                 cpl_flags: Optional[CplFlags] = None,
+                 sstan_monthly: Optional[np.ndarray] = None,
+                 sstan_year0: int = 1990,
+                 sstom12: Optional[np.ndarray] = None):
+        # cpl_flags: coupling modes (mod_cpl_flags.f90); sstan_monthly:
+        # observed monthly SST anomalies (M, nlat, nlon) starting Jan of
+        # sstan_year0 (the fort.30 anomaly file, obs_ssta); sstom12:
+        # ocean-model SST climatology for icsea>=3 (sstom12)
         # scan_unroll: leapfrog steps unrolled per scan iteration.  The
         # T30 step is ~100s of tiny kernels, so window wall-clock is
         # launch/loop-overhead-bound on TPU; unrolling lets XLA fuse
@@ -101,7 +110,18 @@ class GCM:
         self.bd = bd if bd is not None else load_boundary_data(
             geom, self.sht, constants.grav, bc_path)
         lat_deg = np.rad2deg(geom.lat_radians)
-        self.slab = build_slab_coeffs(self.bd, lat_deg, self.dtype)
+        self.cpl = cpl_flags if cpl_flags is not None else CplFlags()
+        self.slab = build_slab_coeffs(self.bd, lat_deg, self.dtype,
+                                      sea_domains=self.cpl.sea_domains)
+        # elnino blend weights (wsst_ob, cpl_sea.f90:33-35)
+        self.wsst_ob = (np.asarray(sea_domain_mask("elnino", lat_deg,
+                                                   geom.nlon),
+                                   dtype=self.dtype)
+                        if self.cpl.icsea >= 4 else None)
+        self.sstan_monthly = (None if sstan_monthly is None
+                              else np.asarray(sstan_monthly))
+        self.sstan_year0 = sstan_year0
+        self.sstom12 = None if sstom12 is None else jnp.asarray(sstom12)
         self.nsteps_day = nsteps_day
         # spectral orography is a static table: build on CPU, hold as numpy
         # (device-array constants cannot be embedded by every backend)
@@ -116,10 +136,29 @@ class GCM:
                                                        tyear, self.sht))
         self._sfc_jit = jax.jit(
             lambda imon, fmon, sst_hybrid, sst_bias: init_surface_state(
-                self.bd, imon, fmon, sst_hybrid, sst_bias))
+                self.bd, imon, fmon, sst_hybrid, sst_bias, flags=self.cpl))
         self._couple_jit = jax.jit(
-            lambda sfc, fluxes, imon, fmon: couple_daily(
-                sfc, self.slab, self.bd, fluxes, imon, fmon))
+            lambda sfc, fluxes, imon, fmon, sstan_ob: couple_daily(
+                sfc, self.slab, self.bd, fluxes, imon, fmon,
+                flags=self.cpl, sstan_ob=sstan_ob, wsst_ob=self.wsst_ob,
+                sstom12=self.sstom12))
+        self._sstan_jit = jax.jit(
+            lambda win, fmon: sstan_for_window(win, fmon))
+
+    def sstan_for(self, date: ModelDate) -> Optional[jnp.ndarray]:
+        """Observed SST anomaly at `date` (obs_ssta + the 3-month forint,
+        cpl_sea.f90:85-88 + 246-279), or None when no anomaly data /
+        isstan off.  Out-of-range months clamp to the series edges (the
+        reference keeps the anomaly constant at end-of-file)."""
+        if self.sstan_monthly is None or (self.cpl.isstan <= 0
+                                          and self.cpl.icsea < 4):
+            return None
+        M = self.sstan_monthly.shape[0]
+        i = (date.year - self.sstan_year0) * 12 + (date.month - 1)
+        idx = np.clip([i - 1, i, i + 1], 0, M - 1)
+        win = jnp.asarray(self.sstan_monthly[idx], dtype=self.dtype)
+        return self._sstan_jit(win, jnp.asarray(date.tmonth,
+                                                dtype=self.dtype))
 
     def forcing_for(self, sfc, tyear) -> "DailyForcing":
         """Date-dependent forcing (fordate), jit-compiled."""
@@ -286,6 +325,7 @@ class GCM:
                      hflux_s=gstate.fluxes.hflux_s,
                      hflux_i=gstate.fluxes.hflux_i),
                 jnp.asarray(date.month - 1),
-                jnp.asarray(date.tmonth, dtype=self.dtype))
+                jnp.asarray(date.tmonth, dtype=self.dtype),
+                self.sstan_for(date))
             gstate = dataclasses.replace(gstate, sfc=sfc)
         return gstate, date

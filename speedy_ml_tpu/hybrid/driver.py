@@ -80,7 +80,9 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                    timestep_hours: int = 6,
                    sst_bias_per_year: float = 0.0,
                    truth_provider=None,
-                   time_mean_path: str | None = None):
+                   time_mean_path: str | None = None,
+                   consolidate: bool = True,
+                   progress_every: int = 0):
     """Run `n_cycles` hybrid 6-h cycles from `hstate`.
 
     Returns (final state, list of dates).  Stops early if the SPEEDY
@@ -90,7 +92,12 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
     current_sst_bias of get_sst_by_date).  truth_provider: optional
     callable cycle_index -> dict of truth grids, written alongside the
     prediction for the verification workflow (write_truth_data,
-    mpires.f90:918-1112)."""
+    mpires.f90:918-1112).  consolidate=False leaves the stream as
+    .partN.npz chunk files — REQUIRED for multi-year runs, whose merged
+    arrays (e.g. 17 GB of atmo for 20 years) exceed host RAM; analysis
+    reads the parts via analysis.iter_prediction_parts."""
+    import time as _time
+
     from speedy_ml_tpu.data.calendar import hour_of_year_365
 
     writer = PredictionWriter(output_path) if output_path else None
@@ -134,8 +141,15 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
             tmean.add(dates[-1], np.asarray(diag["atmo"]),
                       np.asarray(diag["logp"]), np.asarray(diag["precip"]),
                       np.asarray(hstate.sst_grid))
+        if progress_every and (i + 1) % progress_every == 0:
+            print(f"cycle {i + 1}/{n_cycles} ({date.year}-{date.month:02d}"
+                  f"-{date.day:02d}) safe={bool(prev_safe)} "
+                  f"t={_time.strftime('%H:%M:%S')}", flush=True)
     if writer:
-        writer.consolidate()
+        if consolidate:
+            writer.consolidate()
+        else:
+            writer.flush()
     if tmean is not None:
         tmean.save(time_mean_path)
     return hstate, dates

@@ -433,7 +433,8 @@ class HybridAtmosphere:
         Returns (atmo forecast, logp forecast, window FluxAccumulator)."""
         gcm = self.gcm
         g = gcm.geom
-        sfc = init_surface_state(gcm.bd, imon, fmon, sst_hybrid=sst_hybrid)
+        sfc = init_surface_state(gcm.bd, imon, fmon, sst_hybrid=sst_hybrid,
+                                 flags=gcm.cpl)
         if sfc_carry is not None:
             # climatology + hybrid SST injection (ini_sea) but the
             # prognostic anomaly fields come from the carried models
@@ -604,7 +605,8 @@ class HybridAtmosphere:
                 sfc_carry = hstate.sfc
                 fx_acc = hstate.fluxes
                 if sfc_carry is None:      # first cycle: climo init
-                    sfc_carry = init_surface_state(self.gcm.bd, imon, fmon)
+                    sfc_carry = init_surface_state(self.gcm.bd, imon, fmon,
+                                                   flags=self.gcm.cpl)
                     fx_acc = FluxAccumulator.zeros(g.nlat, g.nlon,
                                                    self.gcm.dtype)
             spec, safe = self.inject_to_speedy(atmo, logp)
@@ -632,7 +634,9 @@ class HybridAtmosphere:
                 coupled = couple_daily(
                     sfc_carry, self.gcm.slab, self.gcm.bd,
                     dict(hflux_l=fx_acc.hflux_l, hflux_s=fx_acc.hflux_s,
-                         hflux_i=fx_acc.hflux_i), imon, fmon)
+                         hflux_i=fx_acc.hflux_i), imon, fmon,
+                    flags=self.gcm.cpl, wsst_ob=self.gcm.wsst_ob,
+                    sstom12=self.gcm.sstom12)
                 new_sfc = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(do_couple, a, b), coupled,
                     sfc_carry)

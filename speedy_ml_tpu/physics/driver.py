@@ -116,8 +116,13 @@ class PhysicsModel:
         self.wvi2 = np.asarray(wvi2, dtype=self.dtype)
         self.wvi2_bot = float(wvi2[geom.nlev - 1])
         self.sigl_bot = float(sigl[geom.nlev - 1])
-        self.grdsig = constants.grav / (dsig * constants.p0)
-        self.grdscp = self.grdsig / constants.cp
+        # model-dtype tables: these multiply traced f32 fields and feed
+        # .at[].add scatters — host f64 here would make the updates an
+        # unsafe f64->f32 cast under jax_enable_x64
+        self.grdsig = np.asarray(constants.grav / (dsig * constants.p0),
+                                 dtype=self.dtype)
+        self.grdscp = np.asarray(self.grdsig / constants.cp,
+                                 dtype=self.dtype)
         self.slat = geom.sin_lat
         self.clat = geom.cos_lat
         self.fband = np.asarray(rad.build_fband(), dtype=self.dtype)

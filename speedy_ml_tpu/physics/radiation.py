@@ -284,10 +284,16 @@ def radsw(psa, qa, icltop, cloudc, clstr, qcloud, sol: SolarForcing,
     tsr = ftop - flux1
 
     # ---- LW transmissivity (tau2) for radlw ----
-    tau2 = jnp.zeros((K, 4) + psa.shape, dtype=psa.dtype)
+    # under jax_enable_x64 the cloud fields promote to f64 while psa stays
+    # f32; the scatter target must match the value dtype (the physics
+    # driver pins the RadiationCarry dtype back afterwards)
+    tau2 = jnp.zeros((K, 4) + psa.shape,
+                     dtype=jnp.result_type(psa, qa, cloudc))
     acloud_lw = cloudc * pc.ABLCL2
     for k in range(K):
-        deltap = psa * dsig[k]
+        # keep the model dtype: dsig is host f64, and an f64 deltap would
+        # make the tau2 scatter below an unsafe f64->f32 cast (x64 mode)
+        deltap = (psa * dsig[k]).astype(psa.dtype)
         t1 = jnp.exp(-deltap * pc.ABLWIN)
         t2 = jnp.exp(-deltap * pc.ABLCO2)
         if k == 0:

@@ -222,3 +222,103 @@ def skill_figure(lead_days: np.ndarray, hybrid_rmse: np.ndarray,
     ax.legend()
     ax.grid(alpha=0.3)
     return _save(fig, path)
+
+
+def climo_bias_figure(suite_pred: dict, suite_base: dict, lat, *,
+                      labels=("Hybrid", "SPEEDY"),
+                      path: str | None = None):
+    """The hybrid_climo.py verification panel set: DJF/JJA surface-
+    pressure bias maps and annual zonal-mean T / u / q bias sections,
+    model vs baseline side by side (hybrid_climo.py:330-612).
+
+    suite_*: outputs of analysis.climo_bias_suite (same truth)."""
+    lat = np.asarray(lat)
+    pl = np.asarray(suite_pred["target_pressures"])
+    fig, axes = plt.subplots(4, 2, figsize=(11, 16))
+    nlon = suite_pred["seasons"]["djf"]["ps_bias_map"].shape[1]
+    lon = np.arange(nlon) * 360.0 / nlon
+    for col, (suite, lab) in enumerate(zip((suite_pred, suite_base),
+                                           labels)):
+        ps_djf = suite["seasons"]["djf"]["ps_bias_map"]
+        v = max(1e-9, np.abs(ps_djf).max())
+        pm = _latlon_panel(axes[0, col], ps_djf, lat, lon, "RdBu_r",
+                           vmin=-v, vmax=v)
+        axes[0, col].set_title(f"{lab} surface pressure bias DJF [hPa]")
+        fig.colorbar(pm, ax=axes[0, col], shrink=0.8)
+        for row, name, unit in ((1, "t", "K"), (2, "u", "m/s"),
+                                (3, "q", "g/kg")):
+            sec = suite["seasons"]["annual"][f"{name}_bias_zonal"]
+            v = max(1e-9, np.abs(sec).max())
+            pm = axes[row, col].pcolormesh(lat, pl, sec, cmap="RdBu_r",
+                                           vmin=-v, vmax=v,
+                                           shading="nearest")
+            axes[row, col].invert_yaxis()
+            axes[row, col].set_ylabel("pressure [hPa]")
+            axes[row, col].set_xlabel("lat")
+            axes[row, col].set_title(
+                f"{lab} zonal-mean {name.upper()} bias [{unit}]")
+            fig.colorbar(pm, ax=axes[row, col], shrink=0.8)
+    fig.tight_layout()
+    return _save(fig, path)
+
+
+def combined_precip_figure(precip_truth: np.ndarray,
+                           precip_hybrid: np.ndarray,
+                           precip_speedy: np.ndarray,
+                           lat, lon, samples_per_year: int,
+                           seconds_per_sample: float,
+                           path: str | None = None):
+    """The combined precipitation paper figure
+    (combined_precip_paper_fig.py): mean daily precipitation maps for
+    truth / hybrid / SPEEDY, annual-total histograms, and the
+    high-percentile extreme curve.
+
+    precip_*: (T, lat, lon) precipitation rate in mm/s."""
+    from . import analysis
+
+    day = 86400.0
+    fig = plt.figure(figsize=(14, 10))
+    names = ("Truth", "Hybrid", "SPEEDY")
+    fields = (precip_truth, precip_hybrid, precip_speedy)
+    vmax = max(float(np.asarray(f).mean(axis=0).max()) for f in fields) * day
+    for i, (nm, f) in enumerate(zip(names, fields)):
+        ax = fig.add_subplot(2, 3, i + 1)
+        pm = _latlon_panel(ax, np.asarray(f).mean(axis=0) * day, lat, lon,
+                           "YlGnBu", vmin=0.0, vmax=vmax)
+        ax.set_title(f"{nm}\nmean daily precipitation [mm/day]")
+        fig.colorbar(pm, ax=ax, shrink=0.7)
+
+    # annual-total histogram (histo_precip)
+    ax = fig.add_subplot(2, 3, 4)
+    for nm, f, color in zip(names, fields, ("k", "C0", "C3")):
+        tot = analysis.annual_precip_totals(f, samples_per_year,
+                                            seconds_per_sample)
+        ax.hist(tot.ravel(), bins=40, density=True, histtype="step",
+                color=color, label=nm)
+    ax.set_xlabel("annual precipitation [mm]")
+    ax.set_ylabel("density")
+    ax.legend()
+    ax.set_title("Annual totals")
+
+    # extreme percentiles (extreme_value_plot / log_binning)
+    ax = fig.add_subplot(2, 3, 5)
+    qs = np.array([90.0, 95.0, 99.0, 99.5, 99.9, 99.99])
+    for nm, f, color in zip(names, fields, ("k", "C0", "C3")):
+        vals = np.percentile(np.asarray(f).ravel() * day, qs)
+        ax.plot(qs, vals, marker="o", color=color, label=nm)
+    ax.set_xlabel("percentile")
+    ax.set_ylabel("precip rate [mm/day]")
+    ax.legend()
+    ax.set_title("Extreme precipitation percentiles")
+
+    # zonal-mean precip
+    ax = fig.add_subplot(2, 3, 6)
+    for nm, f, color in zip(names, fields, ("k", "C0", "C3")):
+        ax.plot(np.asarray(lat), np.asarray(f).mean(axis=(0, 2)) * day,
+                color=color, label=nm)
+    ax.set_xlabel("lat")
+    ax.set_ylabel("mm/day")
+    ax.legend()
+    ax.set_title("Zonal-mean precipitation")
+    fig.tight_layout()
+    return _save(fig, path)
