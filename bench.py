@@ -50,6 +50,10 @@ def main():
     # production-scale reservoirs: m=6000 -> n=5760/region, 1,152 regions
     m = int(os.environ.get("BENCH_M", "6000"))
     hyb = build_untrained_hybrid(gcm, m=m, radius_iters=10)
+    if os.environ.get("BENCH_WOUT_BF16"):
+        # perf mode: bf16 readout weights halve the dominant HBM read
+        hyb.cast_wout_bf16()
+        log("bench: wout cast to bf16")
     log("bench: hybrid built, m =", m)
 
     hstate = hyb.init_state(jnp.asarray(gcm.bd.sst12[0]))

@@ -57,6 +57,9 @@ class RunConfig:
     nsteps_day: int = 96
 
     # --- data/paths ---
+    # first calendar year of the training data (the ERA year-file epoch;
+    # iyear0 in the reference's mod_tsteps)
+    start_year: int = 1990
     bc_path: Optional[str] = None
     era_path: Optional[str] = None
     # precomputed SPEEDY forecast-state year-files (read_model_states,

@@ -136,7 +136,7 @@ def generate_model_state_files(gcm, root: str, year0: int, n_years: int,
         idx = np.arange(rpy) * stride + yi * HOURS_PER_YEAR
         idx = idx[idx < truth_source.n_samples * 1]
         truth = truth_source.truth_at(idx)
-        dates = [ModelDate(year0 + yi, 1, 1).add_hours(int(h))
+        dates = [ModelDate(year0 + yi, 1, 1).advance_hours(int(h))
                  for h in (idx - yi * HOURS_PER_YEAR)]
         model = make_imperfect_forecasts(gcm, truth, dates, timestep_hours)
         write_model_states(Path(root) / file_pattern.format(year=year0 + yi),

@@ -361,12 +361,23 @@ def quad_expand(x: jnp.ndarray) -> jnp.ndarray:
 
 def readout(res: BatchedReservoir, x: jnp.ndarray,
             local_model: jnp.ndarray | None = None) -> jnp.ndarray:
-    """outvec = Wout [local_model ; x~]  (predict / predict_ml)."""
+    """outvec = Wout [local_model ; x~]  (predict / predict_ml).
+
+    Wout may be stored in bfloat16 (cast_wout_bf16): the readout is
+    HBM-bandwidth-bound on the weight read (3.8 GB at the production
+    m=6000 layout), and halving it saves ~2 ms/cycle on a v5e.  The
+    einsum then runs bf16 x bf16 with an f32 accumulator, so the
+    output precision loss is the ~0.4% relative weight rounding —
+    far below the 0.2-sigma training noise the readout was fit under."""
     xt = quad_expand(x)
     if local_model is not None:
         aug = jnp.concatenate([local_model, xt], axis=-1)
     else:
         aug = xt
+    if res.wout.dtype == jnp.bfloat16:
+        return jnp.einsum("roa,ra->ro", res.wout,
+                          aug.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     return jnp.einsum("roa,ra->ro", res.wout, aug)
 
 

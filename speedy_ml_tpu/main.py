@@ -88,7 +88,7 @@ def train(cfg: RunConfig, source=None):
 
     gcm = cfg.build_gcm()
     layout = cfg.build_layout()
-    date0 = ModelDate(1990, 1, 1)
+    date0 = ModelDate(cfg.start_year, 1, 1)
     stride = train_stride(cfg)
     n_samples = cfg.training_hours // cfg.timestep_hours * stride
     if source is None:
@@ -156,8 +156,24 @@ def predict(cfg: RunConfig, hyb=None, sync_truth=None, model_next=None,
         else:
             hyb = load_hybrid(gcm, layout, cfg.checkpoint_path,
                               dtype=jnp.dtype(cfg.dtype))
-    start_date = start_date or ModelDate(1990, 1, 1)
-    if sync_truth is None:
+    start_date = start_date or ModelDate(cfg.start_year, 1, 1)
+    if sync_truth is None and cfg.era_path:
+        # synchronize on the ERA window following the training period
+        # (start_prediction/synchronize on era data,
+        # mod_reservoir.f90:938-959)
+        step = cfg.timestep_hours
+        n_sync = max(2, cfg.sync_hours // step)
+        end_h = cfg.training_hours + n_sync * step
+        source = build_source(cfg, gcm, end_h + step,
+                              ModelDate(cfg.start_year, 1, 1))
+        idx = cfg.training_hours + np.arange(n_sync) * step
+        sync_truth = source.truth_at(idx)
+        start_date = ModelDate(cfg.start_year, 1, 1).advance_hours(
+            int(idx[-1]) + step)
+        if not cfg.ml_only:
+            nxt = source.model_at(np.asarray([int(idx[-1]) + step]))
+            model_next = {k: v[0] for k, v in nxt.items()}
+    elif sync_truth is None:
         # self-contained: synchronize on a fresh nature-run window
         from speedy_ml_tpu.hybrid.training import generate_nature_run
         n_sync = max(2, cfg.sync_hours // cfg.timestep_hours)

@@ -63,3 +63,29 @@ def test_f32_solve_matches_f64_oracle(real_gram, beta):
     assert rel < 5e-3, f"readout rel err {rel}"
     assert fro < 5e-3, f"Wout rel err {fro}"
     assert np.isfinite(w32).all()
+
+
+def test_bf16_readout_precision_bound():
+    """cast_wout_bf16 keeps readout outputs within bf16 rounding of the
+    f32 path (f32 accumulator; esn.reservoir.readout)."""
+    import dataclasses
+    from speedy_ml_tpu.esn.reservoir import BatchedReservoir, readout
+
+    rng = np.random.default_rng(0)
+    R, n, O, S = 6, 512, 24, 16
+    with jax.numpy_dtype_promotion("standard"):
+        wout = jnp.asarray(rng.normal(0, 0.5, (R, O, S + n)), jnp.float32)
+        res = BatchedReservoir(
+            cols=jnp.zeros((0,), jnp.int32), vals=jnp.zeros((1, R, n),
+                                                            jnp.float32),
+            win_vals=jnp.zeros((R, n), jnp.float32), wout=wout,
+            mean=jnp.zeros((R, 1)), std=jnp.ones((R, 1)), n_in=1,
+            shifts=(jnp.zeros((1,), jnp.int32),))
+        x = jnp.asarray(rng.normal(0, 1, (R, n)), jnp.float32)
+        lm = jnp.asarray(rng.normal(0, 1, (R, S)), jnp.float32)
+        y32 = np.asarray(readout(res, x, lm))
+        res16 = dataclasses.replace(res, wout=wout.astype(jnp.bfloat16))
+        y16 = np.asarray(readout(res16, x, lm))
+    assert y16.dtype == np.float32          # f32 accumulator output
+    rel = np.linalg.norm(y16 - y32) / np.linalg.norm(y32)
+    assert rel < 6e-3, rel                  # ~bf16 rounding, not worse
