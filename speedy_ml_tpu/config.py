@@ -73,6 +73,9 @@ class RunConfig:
     train_on_sst_anomalies: bool = False
     seed: int = 33                     # init_random_marker(33)
     sppt_on: bool = False              # mod_tsteps.f90:68
+    # eddy-KE growth-rate limiter (cgrate, dyn_step.f90:192-276); the
+    # reference ships it uncalled, so default off
+    cgrate_on: bool = False
     # coupling flags (mod_cpl_flags.f90): defaults = the reference's
     # production setting; see physics.land_sea.CplFlags for the modes
     icland: int = 1
@@ -143,7 +146,8 @@ class RunConfig:
                          sea_domains=tuple(self.sea_domains))
         return GCM(geom, dtype=jnp.dtype(self.dtype),
                    bc_path=self.bc_path, nsteps_day=self.nsteps_day, bd=bd,
-                   sppt_on=self.sppt_on, cpl_flags=flags)
+                   sppt_on=self.sppt_on, cpl_flags=flags,
+                   cgrate_on=self.cgrate_on)
 
     def build_layout(self):
         from speedy_ml_tpu.esn.domain import RegionLayout

@@ -70,9 +70,14 @@ class DycoreModel:
                  alph: float = 0.5,
                  rob: float = 0.05,
                  wil: float = 0.53,
-                 zonal: str = "fft"):
+                 zonal: str = "fft",
+                 cgrate_on: bool = False):
+        # cgrate_on: eddy-kinetic-energy growth-rate limiter (cgrate,
+        # dyn_step.f90:192-276).  The reference defines it but never
+        # calls it, so it stays off by default.
         self.geom = geom
         self.const = constants
+        self.cgrate_on = cgrate_on
         self.dtype = jnp.dtype(dtype)
         self.sht = SpectralTransform(geom, radius=constants.rearth, dtype=dtype,
                                      zonal=zonal)
@@ -532,6 +537,10 @@ class DycoreModel:
         tdt = tdt.at[0].set(self._hordif(ctmp[0], tdt[0],
                                          self.dmps, imp.dmp1s))
 
+        if self.cgrate_on:
+            vordt, divdt = self._cgrate(state.vor[0], state.div[0],
+                                        vordt, divdt)
+
         qtmp = state.tr[0, 0] + (qcorh[None] * self.qcorv[:, None, None]
                                  if qcorh is not None else 0.0)
         trdt = trdt.at[0].set(self._hordif(qtmp, trdt[0], dmpd[0],
@@ -552,6 +561,28 @@ class DycoreModel:
             tr=self._timint(state.tr, trdt, j1, dt, eps),
         )
         return new_state, aux
+
+    def _cgrate(self, vor, div, vordt, divdt):
+        """Eddy-kinetic-energy growth-rate limiter (cgrate,
+        dyn_step.f90:192-276): per field, the eddy (m>0) KE growth rate
+        grate = -sum Re(fdt conj(invlap f)) is compared per level
+        (k >= 2, 1-based) against grmax * rnorm with rnorm =
+        -sum Re(f conj(invlap f)) >= 0; on trigger, all eddy
+        coefficients of the tendency are damped by 0.8*grate/rnorm."""
+        grmax = 0.2 / (86400.0 * 2.0)
+        mmask = (jnp.arange(vor.shape[1]) > 0)[None, :, None]
+
+        def damp(f, fdt):
+            temp = self.sht.invlap(f)
+            pr = lambda a: -jnp.sum(jnp.real(a * jnp.conj(temp)) * mmask,
+                                    axis=(1, 2))
+            grate, rnorm = pr(fdt), pr(f)
+            lev_sel = jnp.arange(f.shape[0]) >= 1       # k=2..kx (1-based)
+            trig = (grate > grmax * rnorm) & lev_sel & (rnorm > 0.0)
+            cd = jnp.max(jnp.where(trig, 0.8 * grate
+                                   / jnp.where(rnorm > 0, rnorm, 1.0), 0.0))
+            return fdt - cd * f * mmask
+        return damp(vor, vordt), damp(div, divdt)
 
     def stepone(self, state: SpectralState, phis: jnp.ndarray,
                 physics_fn: Optional[PhysicsFn] = None,

@@ -80,7 +80,7 @@ class GCM:
                  dtype=jnp.float32, bc_path: Optional[str] = None,
                  nsteps_day: int = 96, bd: Optional[BoundaryData] = None,
                  sppt_on: bool = False, zonal: str = "dft",
-                 scan_unroll: int = 1,
+                 scan_unroll: int = 1, cgrate_on: bool = False,
                  cpl_flags: Optional[CplFlags] = None,
                  sstan_monthly: Optional[np.ndarray] = None,
                  sstan_year0: int = 1990,
@@ -99,7 +99,8 @@ class GCM:
         self.const = constants
         self.dtype = jnp.dtype(dtype)
         self.dyn = DycoreModel(geom, constants, dtype=dtype,
-                               nsteps_day=nsteps_day, zonal=zonal)
+                               nsteps_day=nsteps_day, zonal=zonal,
+                               cgrate_on=cgrate_on)
         self.sht = self.dyn.sht
         self.phys = PhysicsModel(geom, constants, dtype=dtype)
         if sppt_on:
