@@ -37,6 +37,7 @@ class PredictionWriter:
         self.flush_every = flush_every
         self.chunks = 0
         self._keys = None
+        self._worker = None     # in-flight compression thread
 
     def append(self, diag: dict, sst_grid):
         rec = {k: diag[k] for k in diag
@@ -50,18 +51,35 @@ class PredictionWriter:
         if len(self.buf[self._keys[0]]) >= self.flush_every:
             self.flush()
 
-    def flush(self):
-        if self._keys is None or not self.buf[self._keys[0]]:
-            return
-        out = {k: np.stack(v) for k, v in self.buf.items()}
-        np.savez_compressed(self.path.with_suffix(f".part{self.chunks}.npz"),
-                            **out)
-        self.chunks += 1
-        self.buf = {k: [] for k in self._keys}
+    def flush(self, wait: bool = False):
+        """Write the buffered chunk asynchronously.
+
+        Compression (zlib, releases the GIL) runs in a worker thread so
+        the prediction loop never blocks on it — a multi-year run flushes
+        hundreds of ~100 MB chunks (the reference's root rank pays this
+        serially in its NetCDF appends, mpires.f90:499-543).  At most one
+        flush is in flight; the next joins it first, and consolidate()
+        passes wait=True to drain."""
+        import threading
+
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
+        if self._keys is not None and self.buf[self._keys[0]]:
+            out = {k: np.stack(v) for k, v in self.buf.items()}
+            path = self.path.with_suffix(f".part{self.chunks}.npz")
+            self._worker = threading.Thread(
+                target=np.savez_compressed, args=(path,), kwargs=out)
+            self._worker.start()
+            self.chunks += 1
+            self.buf = {k: [] for k in self._keys}
+        if wait and self._worker is not None:
+            self._worker.join()
+            self._worker = None
 
     def consolidate(self):
         """Merge all parts into one file."""
-        self.flush()
+        self.flush(wait=True)
         parts = sorted(self.path.parent.glob(self.path.stem + ".part*.npz"),
                        key=lambda p: int(p.suffixes[-2][5:]))
         if not parts:
@@ -149,7 +167,7 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
         if consolidate:
             writer.consolidate()
         else:
-            writer.flush()
+            writer.flush(wait=True)
     if tmean is not None:
         tmean.save(time_mean_path)
     return hstate, dates

@@ -190,7 +190,7 @@ def test_writer_unconsolidated_parts(tmp_path):
                     logp=np.full((NY, NX), t, np.float32),
                     precip=np.zeros((NY, NX), np.float32))
         w.append(diag, np.zeros((NY, NX), np.float32))
-    w.flush()
+    w.flush(wait=True)           # drain async compression before reading
     series = load_prediction_series(str(tmp_path / "run.npz"), "logp")
     assert series.shape == (T, NY, NX)
     np.testing.assert_allclose(series[:, 0, 0], np.arange(T))
