@@ -296,3 +296,15 @@ def train_subseries(res: BatchedReservoir, hyper: ESNHyper,
         None if series_model is None else series_model[n_discard:],
         x0, batch_size, noise_key=nk, precip_info=precip_info)
     return eq, x
+
+
+def pinv_svd(a: jnp.ndarray, thres: float = 1e-2) -> jnp.ndarray:
+    """Moore-Penrose pseudo-inverse via SVD with a hard singular-value
+    threshold (pinv_svd, mod_linalg.f90:27-100): singular values <= thres
+    are zeroed outright (not clipped), matching the reference's DSCAL
+    branches.  Batched over leading axes; unused in the production solve
+    path there and here, kept for API parity."""
+    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    sinv = jnp.where(s > thres, 1.0 / jnp.where(s > thres, s, 1.0), 0.0)
+    return jnp.einsum("...ij,...j,...kj->...ik",
+                      jnp.swapaxes(vt, -1, -2), sinv, u)

@@ -170,3 +170,30 @@ def test_lorenz63_prediction():
     # must track the attractor closely for the first ~100 steps (2 time units)
     assert err[:50].max() < 0.5, f"ESN diverged early: {err[:10]}"
     assert np.median(err[:100]) < 1.0
+
+
+def test_pinv_svd_matches_reference_semantics():
+    """pinv_svd (mod_linalg.f90:27-100): exact Moore-Penrose on
+    well-conditioned input; small singular values ZEROED (not inverted)."""
+    import numpy as np
+    from speedy_ml_tpu.esn.train import pinv_svd
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (7, 5))
+    got = np.asarray(pinv_svd(jnp.asarray(a), thres=1e-10))
+    np.testing.assert_allclose(got, np.linalg.pinv(a), rtol=1e-8, atol=1e-10)
+
+    # rank-deficient with a small singular value below the threshold:
+    # that direction must vanish from the pseudo-inverse
+    u, s, vt = np.linalg.svd(a, full_matrices=False)
+    s[-1] = 1e-3                                  # below thres=1e-2
+    a2 = (u * s) @ vt
+    got2 = np.asarray(pinv_svd(jnp.asarray(a2), thres=1e-2))
+    want = (vt.T * np.where(s > 1e-2, 1.0 / s, 0.0)) @ u.T
+    np.testing.assert_allclose(got2, want, rtol=1e-8, atol=1e-10)
+    # batched
+    b = rng.normal(0, 1, (3, 6, 4))
+    gb = np.asarray(pinv_svd(jnp.asarray(b), thres=1e-12))
+    for i in range(3):
+        np.testing.assert_allclose(gb[i], np.linalg.pinv(b[i]),
+                                   rtol=1e-8, atol=1e-10)
