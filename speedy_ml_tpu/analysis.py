@@ -411,6 +411,8 @@ def climo_bias_from_climatology(cp: dict, ct: dict) -> dict:
     out = {"target_pressures": TARGET_PRESSURES, "seasons": {}}
     rms_all = {}
     for sname, idx in seasons.items():
+        if len(idx) == 0:        # toy years: season entirely out of range
+            continue
         sdict = {}
         for name in ("t", "u", "q"):
             bias = cp[name][idx].mean(axis=0) - ct[name][idx].mean(axis=0)

@@ -270,7 +270,7 @@ def solve_wout_sharded(eq: NormalEq, hyper: ESNHyper, n_speedy: int,
     dynamic-slice across shards every iteration: 70 s for a (64, 708,
     708) batch on an 8-device host mesh vs <2 s this way.)"""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(axis, None, None)
 
