@@ -104,3 +104,48 @@ def test_reference_weight_reader_format(tmp_path):
     d = read_reference_worker(tmp_path / "worker_0001_level_1_test.nc")
     assert d["win"].shape == (n, I)
     assert d["vals"].shape == (k,)
+
+
+@pytest.mark.slow
+def test_save_load_roundtrip_with_ocean(tmp_path):
+    """Ocean packs (idx_map, SST scalars, hybrid_readout flag, weights)
+    survive the checkpoint round trip — the path the climate-run
+    restart and the bf16 validation depend on."""
+    import jax
+    from speedy_ml_tpu.core.spectral import SpectralTransform
+    from speedy_ml_tpu.esn.reservoir import ESNHyper
+    from speedy_ml_tpu.hybrid.training import train_hybrid
+    from tests.test_ocean import fabricate_truth
+
+    sht = SpectralTransform(GEOM, dtype=jnp.float64)
+    gcm = GCM(GEOM, PhysicalConstants(), dtype=jnp.float64,
+              bd=synthetic_boundary_data(GEOM, sht))
+    layout = RegionLayout(GEOM, n_regions=128, overlap=1)
+    truth = fabricate_truth(120)
+    hyb = train_hybrid(gcm, layout, truth, None,
+                       ESNHyper(m=400, noise_mag=0.0),
+                       jax.random.PRNGKey(1), ocean=True,
+                       ocean_hyper=ESNHyper(m=200, sigma=0.6, beta_res=1e-4,
+                                            noise_mag=0.0,
+                                            using_prior=False),
+                       n_discard=4, n_batches=4, dtype=jnp.float64)
+    save_hybrid(hyb, tmp_path / "ckpt")
+    hyb2 = load_hybrid(gcm, layout, tmp_path / "ckpt", dtype=jnp.float64)
+    assert hyb2.ocean_packs is not None
+    for o1, o2 in zip(hyb.ocean_packs, hyb2.ocean_packs):
+        np.testing.assert_array_equal(np.asarray(o1.res.wout),
+                                      np.asarray(o2.res.wout))
+        np.testing.assert_array_equal(np.asarray(o1.idx_map),
+                                      np.asarray(o2.idx_map))
+        np.testing.assert_array_equal(np.asarray(o1.mean_sst),
+                                      np.asarray(o2.mean_sst))
+        assert o1.hybrid_readout == o2.hybrid_readout
+    np.testing.assert_array_equal(np.asarray(hyb.base_sst),
+                                  np.asarray(hyb2.base_sst))
+    # the loaded model runs a cycle
+    sync = {k: truth[k][-6:] for k in truth}
+    hstate = hyb2.start_prediction(sync, None, truth["sst"][-1])
+    hstate, diag = hyb2.cycle(hstate, jnp.asarray(0),
+                              jnp.asarray(0.5, jnp.float64),
+                              jnp.asarray(0.1, jnp.float64))
+    assert bool(jnp.isfinite(hstate.sst_grid).all())
