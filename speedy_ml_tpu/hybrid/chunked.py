@@ -210,10 +210,14 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
     s2 = jnp.zeros((Rc, nc), dtype=dtype)
     cnt = jnp.zeros((nc,), dtype=dtype)
     T = source.n_samples
+    prev = None
     for t0 in range(0, T, time_chunk):
         idx = np.arange(t0, min(t0 + time_chunk, T))
         chunk = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
+        if prev is not None:        # bound in-flight staging copies
+            float(prev[0])          # host readback (real sync on axon)
         s1, s2, cnt = acc(chunk, s1, s2, cnt)
+        prev = cnt
 
     cnt = jnp.maximum(cnt, 1.0)
     mean_c = s1 / cnt
@@ -418,6 +422,14 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
         ss = jnp.zeros((Rch, A, A), dtype=eq_dtype)
         st = jnp.zeros((Rch, O, A), dtype=eq_dtype)
 
+        # keep at most one chunk in flight: without a periodic sync the
+        # host loop dispatches the whole series ahead and the tunneled
+        # backend pins a staging copy of EVERY chunk's inputs until the
+        # queue drains (~130 GB at N=8760 -> OOM-killed, round 4).  The
+        # sync is a tiny HOST READBACK of a marker derived from x before
+        # x is donated onward (block_until_ready is a no-op on the
+        # tunneled backend, and x itself is donated/deleted).
+        prev_mark = None
         for s in range(stride):
             sub_idx = np.arange(s, T, stride)
             L = len(sub_idx)
@@ -451,6 +463,9 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                     x, ss, st = accumulate(
                         vals_ch, win_ch, x, ss, st, z[d:], target[d:],
                         None if zm is None else zm[d:])
+                if prev_mark is not None:
+                    float(prev_mark[0, 0])
+                prev_mark = jnp.abs(x[:1, :1])
                 pos = c1
                 if progress is not None:
                     progress(r0, s, pos)
