@@ -407,9 +407,19 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
         Rch = r1 - r0
         vals_ch = vals[:, r0:r1]
         win_ch = win[r0:r1]
-        iy = jnp.asarray(cls.iy_in[r0:r1])
+        # host-side latitude-band slicing: this region chunk only reads
+        # the rows its windows cover, so slice every field to that band
+        # BEFORE the host->device transfer and remap the row tables.
+        # Without this each region chunk re-transfers the FULL global
+        # series (11x the needed bytes at 96-region chunks), and the
+        # tunneled backend's staging of those transfers OOMed the host
+        # at N=8760 (round 4).
+        rows = np.unique(np.asarray(cls.iy_in[r0:r1]))
+        row_of = np.full(int(rows.max()) + 1, -1, dtype=np.int64)
+        row_of[rows] = np.arange(len(rows))
+        iy = jnp.asarray(row_of[np.asarray(cls.iy_in[r0:r1])])
         ix = jnp.asarray(cls.ix_in[r0:r1])
-        iyc = jnp.asarray(cls.iy_core[r0:r1])
+        iyc = jnp.asarray(row_of[np.asarray(cls.iy_core[r0:r1])])
         ixc = jnp.asarray(cls.ix_core[r0:r1])
         rid = jnp.asarray(cls.region_ids[r0:r1], dtype=jnp.int32)
         in_mean, in_std = std.in_mean[r0:r1], std.in_std[r0:r1]
@@ -443,11 +453,12 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                 c0 = pos
                 c1 = min(pos + time_chunk, n_discard + pairs_total)
                 idx = sub_idx[c0:c1]
-                truth = {k: jnp.asarray(v)
+                truth = {k: jnp.asarray(np.asarray(v)[..., rows, :])
                          for k, v in source.truth_at(idx).items()}
                 model = source.model_at(idx) if hybrid else None
                 model = (None if model is None else
-                         {k: jnp.asarray(v) for k, v in model.items()})
+                         {k: jnp.asarray(np.asarray(v)[..., rows, :])
+                          for k, v in model.items()})
                 z, target, zm = prep(
                     truth, model, sub_key, jnp.arange(c0, c1), rid,
                     iy, ix, iyc, ixc, in_mean, in_std, out_mean, out_std,
