@@ -222,11 +222,28 @@ def fit_ocean_class(cls, o_series, target, atmo_pack, hyper, key, nz: int, *,
 
     L = T_slab - n_discard
     batch_size = max(1, L - 1)    # single batch (train_slab_ocean_model:1331)
-    x0 = discard_transient(res, hyper, o_series[:n_discard])
-    eq, _ = accumulate_batches(
-        res, hyper, o_series[n_discard:], target[n_discard:],
-        None if model_in is None else model_in[n_discard:], x0, batch_size)
-    wout = solve_wout(eq, hyper, n_speedy=S_o)
+    # region-chunked Gram + solve: at the production interior class
+    # (1,056 regions, slab n=3968) the full-class Gram is (1056, 3968,
+    # 3968) f32 = 66 GB — 4x the chip's HBM.  Per-region normal
+    # equations are independent, so chunk exactly like the atmo trainer.
+    region_chunk = 64
+    wout_parts = []
+    for r0 in range(0, Rc, region_chunk):
+        r1 = min(r0 + region_chunk, Rc)
+        res_ch = dataclasses.replace(
+            res, vals=res.vals[:, r0:r1], win_vals=res.win_vals[r0:r1],
+            wout=res.wout[r0:r1], mean=res.mean[r0:r1], std=res.std[r0:r1],
+            shifts=res.shifts,
+            onehots=None if res.onehots is None else res.onehots)
+        x0 = discard_transient(res_ch, hyper, o_series[:n_discard, r0:r1])
+        eq, _ = accumulate_batches(
+            res_ch, hyper, o_series[n_discard:, r0:r1],
+            target[n_discard:, r0:r1],
+            None if model_in is None else model_in[n_discard:, r0:r1],
+            x0, batch_size)
+        wout_parts.append(np.asarray(solve_wout(eq, hyper, n_speedy=S_o)))
+        del eq
+    wout = jnp.asarray(np.concatenate(wout_parts, axis=0), dtype=dtype)
     res = dataclasses.replace(res, wout=wout)
 
     # SST unstandardization scalars from the atmo standardizer
