@@ -50,8 +50,11 @@ def main():
     # production-scale reservoirs: m=6000 -> n=5760/region, 1,152 regions
     m = int(os.environ.get("BENCH_M", "6000"))
     hyb = build_untrained_hybrid(gcm, m=m, radius_iters=10)
-    if os.environ.get("BENCH_WOUT_BF16"):
-        # perf mode: bf16 readout weights halve the dominant HBM read
+    if os.environ.get("BENCH_WOUT_BF16", "1") != "0":
+        # default perf mode: bf16 readout weights halve the dominant HBM
+        # read (~2.3 ms of the 14.35 ms cycle).  Skill impact validated in
+        # scripts/bf16_readout_validation.py + tests/test_solve_f32_bound.py;
+        # set BENCH_WOUT_BF16=0 for the full-f32 reference mode.
         hyb.cast_wout_bf16()
         log("bench: wout cast to bf16")
     log("bench: hybrid built, m =", m)

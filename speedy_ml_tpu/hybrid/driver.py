@@ -100,7 +100,8 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
                    truth_provider=None,
                    time_mean_path: str | None = None,
                    consolidate: bool = True,
-                   progress_every: int = 0):
+                   progress_every: int = 0,
+                   cycles_per_dispatch: int = 1):
     """Run `n_cycles` hybrid 6-h cycles from `hstate`.
 
     Returns (final state, list of dates).  Stops early if the SPEEDY
@@ -113,10 +114,27 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
     mpires.f90:918-1112).  consolidate=False leaves the stream as
     .partN.npz chunk files — REQUIRED for multi-year runs, whose merged
     arrays (e.g. 17 GB of atmo for 20 years) exceed host RAM; analysis
-    reads the parts via analysis.iter_prediction_parts."""
+    reads the parts via analysis.iter_prediction_parts.
+
+    cycles_per_dispatch > 1 runs K cycles inside ONE lax.scan dispatch
+    with an on-device output buffer, removing the per-cycle host->device
+    round trip that dominates product throughput on a tunneled chip
+    (VERDICT r4 weak #2): the per-cycle diag records come back stacked
+    and are drained into the same writer/time-mean path.  The safety
+    gate stays in-graph (an unsafe state holds SPEEDY for the rest of
+    the dispatch), so batching only coarsens the HOST abort granularity
+    from 1 to K cycles; dates past the first unsafe cycle are dropped.
+    Requires truth_provider=None (truth joins per-cycle on host)."""
     import time as _time
 
     from speedy_ml_tpu.data.calendar import hour_of_year_365
+
+    if cycles_per_dispatch > 1 and truth_provider is None:
+        return _run_prediction_batched(
+            hyb, hstate, start_date, n_cycles, output_path,
+            stop_if_unsafe, timestep_hours, sst_bias_per_year,
+            time_mean_path, consolidate, progress_every,
+            cycles_per_dispatch)
 
     writer = PredictionWriter(output_path) if output_path else None
     tmean = None
@@ -163,6 +181,118 @@ def run_prediction(hyb, hstate, start_date: ModelDate, n_cycles: int,
             print(f"cycle {i + 1}/{n_cycles} ({date.year}-{date.month:02d}"
                   f"-{date.day:02d}) safe={bool(prev_safe)} "
                   f"t={_time.strftime('%H:%M:%S')}", flush=True)
+    if writer:
+        if consolidate:
+            writer.consolidate()
+        else:
+            writer.flush(wait=True)
+    if tmean is not None:
+        tmean.save(time_mean_path)
+    return hstate, dates
+
+
+def _run_prediction_batched(hyb, hstate, start_date: ModelDate,
+                            n_cycles: int, output_path, stop_if_unsafe,
+                            timestep_hours, sst_bias_per_year,
+                            time_mean_path, consolidate, progress_every,
+                            K: int):
+    """K-cycles-per-dispatch product loop (see run_prediction docstring).
+
+    The reference pays a hub round-trip per step (sendrecievegrid,
+    mpires.f90:499-543); the per-cycle Python path above still pays one
+    dispatch + host sync per step.  Here lax.scan runs K cycles on
+    device and returns the diag records stacked, so host work (writer
+    compression, time means) overlaps the next dispatch."""
+    import time as _time
+
+    from speedy_ml_tpu.data.calendar import hour_of_year_365
+
+    writer = PredictionWriter(output_path) if output_path else None
+    tmean = None
+    if time_mean_path:
+        from speedy_ml_tpu.timemean import TimeMeanAccumulator
+        tmean = TimeMeanAccumulator(hyb.gcm.geom,
+                                    phis=np.asarray(hyb.gcm.bd.phis0))
+    params = hyb.params
+    dt = hyb.gcm.dtype
+
+    def body(s, per):
+        imon, fmon, tyear, hour, bias = per
+        s2, diag = hyb.cycle_with_params(params, s, imon, fmon, tyear,
+                                         hour, bias)
+        keep = {k: v for k, v in diag.items()
+                if k in ("atmo", "logp", "precip")
+                or k.startswith(("vp_", "vml_"))}
+        keep["sst"] = s2.sst_grid
+        keep["safe"] = s2.safe
+        return s2, keep
+
+    run_k = jax.jit(lambda s, pers: jax.lax.scan(body, s, pers),
+                    donate_argnums=(0,))
+
+    # per-cycle scalar args for the whole run, precomputed on host
+    all_dates = [start_date]
+    for _ in range(n_cycles - 1):
+        all_dates.append(all_dates[-1].advance_hours(timestep_hours))
+    imon_a = np.asarray([d.month - 1 for d in all_dates], np.int32)
+    fmon_a = np.asarray([d.tmonth for d in all_dates], np.float32)
+    tyear_a = np.asarray([d.tyear for d in all_dates], np.float32)
+    hour_a = np.asarray([hour_of_year_365(d) for d in all_dates], np.int32)
+    bias_a = np.asarray([sst_bias_per_year * (i * timestep_hours) / 8760.0
+                         for i in range(n_cycles)], np.float32)
+
+    dates: list = []
+    done = 0
+    pending = None            # (stacked host arrays, dates) to drain
+    next_progress = progress_every if progress_every else None
+
+    def drain(stacked, chunk_dates):
+        n = len(chunk_dates)
+        for b in range(n):
+            if writer:
+                rec = {k: stacked[k][b] for k in stacked
+                       if k not in ("safe",)}
+                writer.append(rec, stacked["sst"][b])
+            if tmean is not None:
+                tmean.add(chunk_dates[b], stacked["atmo"][b],
+                          stacked["logp"][b], stacked["precip"][b],
+                          stacked["sst"][b])
+
+    while done < n_cycles:
+        k = min(K, n_cycles - done)
+        pers = (jnp.asarray(imon_a[done:done + k]),
+                jnp.asarray(fmon_a[done:done + k]).astype(dt),
+                jnp.asarray(tyear_a[done:done + k]).astype(dt),
+                jnp.asarray(hour_a[done:done + k]),
+                jnp.asarray(bias_a[done:done + k]).astype(dt))
+        hstate, out = run_k(hstate, pers)
+        # drain the PREVIOUS chunk while this dispatch runs on device
+        if pending is not None:
+            drain(*pending)
+            pending = None
+        safe_flags = np.asarray(out["safe"])        # syncs this dispatch
+        stacked = {kk: np.asarray(v) for kk, v in out.items()}
+        chunk_dates = all_dates[done:done + k]
+        n_ok = k
+        if stop_if_unsafe and not safe_flags.all():
+            n_ok = int(np.argmin(safe_flags)) + 1   # first unsafe cycle
+            stacked = {kk: v[:n_ok] for kk, v in stacked.items()}
+            chunk_dates = chunk_dates[:n_ok]
+        pending = (stacked, chunk_dates)
+        dates.extend(chunk_dates)
+        done += k
+        if n_ok < k:
+            print(f"prediction stopped: SPEEDY safety gate at cycle "
+                  f"{len(dates) - 1}")
+            break
+        if next_progress is not None and done >= next_progress:
+            d = all_dates[done - 1]
+            print(f"cycle {done}/{n_cycles} ({d.year}-{d.month:02d}"
+                  f"-{d.day:02d}) safe={bool(safe_flags[-1])} "
+                  f"t={_time.strftime('%H:%M:%S')}", flush=True)
+            next_progress += progress_every
+    if pending is not None:
+        drain(*pending)
     if writer:
         if consolidate:
             writer.consolidate()
