@@ -8,6 +8,7 @@ replacing the root-rank NetCDF appends (mpires.f90:499-543).
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 
@@ -216,9 +217,9 @@ def _run_prediction_batched(hyb, hstate, start_date: ModelDate,
     params = hyb.params
     dt = hyb.gcm.dtype
 
-    def body(s, per):
+    def body(prm, s, per):
         imon, fmon, tyear, hour, bias = per
-        s2, diag = hyb.cycle_with_params(params, s, imon, fmon, tyear,
+        s2, diag = hyb.cycle_with_params(prm, s, imon, fmon, tyear,
                                          hour, bias)
         keep = {k: v for k, v in diag.items()
                 if k in ("atmo", "logp", "precip")
@@ -227,8 +228,13 @@ def _run_prediction_batched(hyb, hstate, start_date: ModelDate,
         keep["safe"] = s2.safe
         return s2, keep
 
-    run_k = jax.jit(lambda s, pers: jax.lax.scan(body, s, pers),
-                    donate_argnums=(0,))
+    # params enter as a jit ARGUMENT, not a closure capture: captured
+    # they become giant program constants (2+ GB of Wout at m=6000) and
+    # the tunneled-backend compile blows past 20 minutes
+    run_k = jax.jit(
+        lambda prm, s, pers: jax.lax.scan(
+            functools.partial(body, prm), s, pers),
+        donate_argnums=(1,))
 
     # per-cycle scalar args for the whole run, precomputed on host
     all_dates = [start_date]
@@ -265,7 +271,7 @@ def _run_prediction_batched(hyb, hstate, start_date: ModelDate,
                 jnp.asarray(tyear_a[done:done + k]).astype(dt),
                 jnp.asarray(hour_a[done:done + k]),
                 jnp.asarray(bias_a[done:done + k]).astype(dt))
-        hstate, out = run_k(hstate, pers)
+        hstate, out = run_k(params, hstate, pers)
         # drain the PREVIOUS chunk while this dispatch runs on device
         if pending is not None:
             drain(*pending)
