@@ -1,0 +1,414 @@
+"""Independent re-derivation oracles for the physics columns (VERDICT r4
+weak #4, second half): shtorh, convmf, lscond, and vdifsc are re-derived
+here in straight-line scalar-loop numpy f64 DIRECTLY from the reference
+sources (phy_shtorh.f90, phy_convmf.f90, phy_lscond.f90, phy_vdifsc.f90,
+with constants from mod_lsccon/mod_cnvcon/mod_vdicon/mod_physcon and the
+wvi table from ini_inphys.f90:39-45) — sharing nothing with
+speedy_ml_tpu.physics — and compared against the framework's batched
+implementations on random physically-plausible columns.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speedy_ml_tpu.core import Geometry
+from speedy_ml_tpu.physics.condensation import lscond
+from speedy_ml_tpu.physics.convection import convmf
+from speedy_ml_tpu.physics.humidity import qsat_from_t
+from speedy_ml_tpu.physics.vdiff import vdifsc
+
+GEOM = Geometry()
+KX = GEOM.nlev
+NLAT, NLON = 6, 8
+NGP = NLAT * NLON
+
+# mod_physcon.f90
+P0, GG, CP, ALHC = 1.0e5, 9.81, 1004.0, 2501.0
+# mod_lsccon.f90
+TRLSC, RHLSC, DRHLSC, RHBLSC = 4.0, 0.9, 0.1, 0.95
+# mod_cnvcon.f90
+PSMIN, TRCNV, RHBL, RHIL, ENTMAX, SMF = 0.8, 6.0, 0.9, 0.7, 0.5, 0.8
+# mod_vdicon.f90
+TRSHC, TRVDI, TRVDS, REDSHC, RHGRAD, SEGRAD = 6.0, 24.0, 6.0, 0.5, 0.5, 0.1
+
+
+def vertical_tables():
+    """sig/dsig/sigh (1-based sigh(0:kx) as sigh[0..kx]) + wvi
+    (ini_inphys.f90:39-45), scalar re-derivation."""
+    hsg = np.asarray(GEOM.half_sigma, dtype=np.float64)
+    sig = 0.5 * (hsg[1:] + hsg[:-1])
+    dsig = hsg[1:] - hsg[:-1]
+    sigl = np.log(sig)
+    wvi = np.zeros((KX, 2))
+    for k in range(KX - 1):                      # 1-based k = 1..kx-1
+        wvi[k, 0] = 1.0 / (sigl[k + 1] - sigl[k])
+        wvi[k, 1] = (np.log(hsg[k + 1]) - sigl[k]) * wvi[k, 0]
+    wvi[KX - 1, 1] = (np.log(0.99) - sigl[KX - 1]) * wvi[KX - 2, 0]
+    return sig, dsig, hsg, wvi
+
+
+# ----------------------------------------------------------- oracles
+
+
+def oracle_shtorh(ta, ps, sig_scalar):
+    """phy_shtorh.f90:28-55 scalar translation; ta (ngp,), ps (ngp,) or
+    scalar const (sig<=0 path uses ps[0])."""
+    e0, c1, c2 = 6.108e-3, 17.269, 21.875
+    t0, t1, t2 = 273.16, 35.86, 7.66
+    ngp = ta.shape[0]
+    qsat = np.zeros(ngp)
+    for j in range(ngp):
+        if ta[j] >= t0:
+            qsat[j] = e0 * np.exp(c1 * (ta[j] - t0) / (ta[j] - t1))
+        else:
+            qsat[j] = e0 * np.exp(c2 * (ta[j] - t0) / (ta[j] - t2))
+    for j in range(ngp):
+        if sig_scalar <= 0.0:
+            qsat[j] = 622.0 * qsat[j] / (ps[0] - 0.378 * qsat[j])
+        else:
+            qsat[j] = 622.0 * qsat[j] / (sig_scalar * ps[j]
+                                         - 0.378 * qsat[j])
+    return qsat
+
+
+def oracle_convmf(psa, se, qa, qsat, sig, dsig, wvi):
+    """phy_convmf.f90 scalar translation (1-based loops).  Arrays are
+    (ngp, nlev) like the Fortran; returns itop (1-based; nlev+1 = none),
+    cbmf, precnv, dfse, dfqa."""
+    ngp = psa.shape[0]
+    nlev, nl1, nlp = KX, KX - 1, KX + 1
+    fqmax = 5.0
+    fm0 = P0 * dsig[nlev - 1] / (GG * TRCNV * 3600.0)
+    rdps = 2.0 / (1.0 - PSMIN)
+
+    dfse = np.zeros((ngp, nlev))
+    dfqa = np.zeros((ngp, nlev))
+    cbmf = np.zeros(ngp)
+    precnv = np.zeros(ngp)
+    itop = np.zeros(ngp, dtype=int)
+    qdif = np.zeros(ngp)
+
+    mss = np.zeros((ngp, nlev + 1))              # index 2..nlev (1-based)
+    for k in range(2, nlev + 1):
+        for j in range(ngp):
+            mss[j, k] = se[j, k - 1] + ALHC * qsat[j, k - 1]
+
+    entr = np.zeros(nlev)                        # 1-based 2..nl1
+    sentr = 0.0
+    for k in range(2, nl1 + 1):
+        entr[k] = max(0.0, sig[k - 1] - 0.5) ** 2
+        sentr += entr[k]
+    sentr = ENTMAX / sentr
+    for k in range(2, nl1 + 1):
+        entr[k] *= sentr
+
+    rlhc = 1.0 / ALHC
+    for j in range(ngp):
+        itop[j] = nlp
+        if psa[j] > PSMIN:
+            mse0 = se[j, nlev - 1] + ALHC * qa[j, nlev - 1]
+            mse1 = min(mse0, se[j, nl1 - 1] + ALHC * qa[j, nl1 - 1])
+            mss0 = max(mse0, mss[j, nlev])
+            ktop1 = nlev
+            ktop2 = nlev
+            msthr = 0.0
+            for k in range(nlev - 3, 2, -1):     # k = nlev-3 .. 3
+                mss2 = mss[j, k] + wvi[k - 1, 1] * (mss[j, k + 1]
+                                                    - mss[j, k])
+                if mss0 > mss2:
+                    ktop1 = k
+                if mse1 > mss2:
+                    ktop2 = k
+                    msthr = mss2
+            if ktop1 < nlev:
+                qthr0 = RHBL * qsat[j, nlev - 1]
+                qthr1 = RHBL * qsat[j, nl1 - 1]
+                lqthr = (qa[j, nlev - 1] > qthr0
+                         and qa[j, nl1 - 1] > qthr1)
+                if ktop2 < nlev:
+                    itop[j] = ktop1
+                    qdif[j] = max(qa[j, nlev - 1] - qthr0,
+                                  (mse0 - msthr) * rlhc)
+                elif lqthr:
+                    itop[j] = ktop1
+                    qdif[j] = qa[j, nlev - 1] - qthr0
+
+    for j in range(ngp):
+        if itop[j] == nlp:
+            continue
+        k, k1 = nlev, nlev - 1
+        qmax = max(1.01 * qa[j, k - 1], qsat[j, k - 1])
+        sb = se[j, k1 - 1] + wvi[k1 - 1, 1] * (se[j, k - 1] - se[j, k1 - 1])
+        qb = qa[j, k1 - 1] + wvi[k1 - 1, 1] * (qa[j, k - 1] - qa[j, k1 - 1])
+        qb = min(qb, qa[j, k - 1])
+        fpsa = psa[j] * min(1.0, (psa[j] - PSMIN) * rdps)
+        fmass = fm0 * fpsa * min(fqmax, qdif[j] / (qmax - qb))
+        cbmf[j] = fmass
+        fus = fmass * se[j, k - 1]
+        fuq = fmass * qmax
+        fds = fmass * sb
+        fdq = fmass * qb
+        dfse[j, k - 1] = fds - fus
+        dfqa[j, k - 1] = fdq - fuq
+
+        for k in range(nlev - 1, itop[j], -1):   # k = nlev-1 .. itop+1
+            k1 = k - 1
+            dfse[j, k - 1] = fus - fds
+            dfqa[j, k - 1] = fuq - fdq
+            enmass = entr[k] * psa[j] * cbmf[j]
+            fmass = fmass + enmass
+            fus = fus + enmass * se[j, k - 1]
+            fuq = fuq + enmass * qa[j, k - 1]
+            sb = se[j, k1 - 1] + wvi[k1 - 1, 1] * (se[j, k - 1]
+                                                   - se[j, k1 - 1])
+            qb = qa[j, k1 - 1] + wvi[k1 - 1, 1] * (qa[j, k - 1]
+                                                   - qa[j, k1 - 1])
+            fds = fmass * sb
+            fdq = fmass * qb
+            dfse[j, k - 1] += fds - fus
+            dfqa[j, k - 1] += fdq - fuq
+            delq = RHIL * qsat[j, k - 1] - qa[j, k - 1]
+            if delq > 0.0:
+                fsq = SMF * cbmf[j] * delq
+                dfqa[j, k - 1] += fsq
+                dfqa[j, nlev - 1] -= fsq
+
+        k = itop[j]
+        qsatb = qsat[j, k - 1] + wvi[k - 1, 1] * (qsat[j, k]
+                                                  - qsat[j, k - 1])
+        precnv[j] = max(fuq - fmass * qsatb, 0.0)
+        dfse[j, k - 1] = fus - fds + ALHC * precnv[j]
+        dfqa[j, k - 1] = fuq - fdq - precnv[j]
+    return itop, cbmf, precnv, dfse, dfqa
+
+
+def oracle_lscond(psa, qa, qsat, itop, sig, dsig):
+    """phy_lscond.f90 scalar translation; itop 1-based in/out."""
+    ngp = psa.shape[0]
+    nlev = KX
+    qsmax = 10.0
+    rtlsc = 1.0 / (TRLSC * 3600.0)
+    tfact = ALHC / CP
+    prg = P0 / GG
+
+    itop = itop.copy()
+    dtlsc = np.zeros((ngp, nlev))
+    dqlsc = np.zeros((ngp, nlev))
+    precls = np.zeros(ngp)
+    psa2 = psa * psa
+
+    for k in range(2, nlev + 1):
+        sig2 = sig[k - 1] * sig[k - 1]
+        rhref = RHLSC + DRHLSC * (sig2 - 1.0)
+        if k == nlev:
+            rhref = max(rhref, RHBLSC)
+        dqmax = qsmax * sig2 * rtlsc
+        for j in range(ngp):
+            dqa = rhref * qsat[j, k - 1] - qa[j, k - 1]
+            if dqa < 0.0:
+                itop[j] = min(k, itop[j])
+                dqlsc[j, k - 1] = dqa * rtlsc
+                dtlsc[j, k - 1] = tfact * min(-dqlsc[j, k - 1],
+                                              dqmax * psa2[j])
+
+    for k in range(2, nlev + 1):
+        pfact = dsig[k - 1] * prg
+        for j in range(ngp):
+            precls[j] -= pfact * dqlsc[j, k - 1]
+    precls *= psa
+    return itop, precls, dtlsc, dqlsc
+
+
+def oracle_vdifsc(ua, va, se, rh, qa, qsat, phi, icnv, sig, dsig, sigh):
+    """phy_vdifsc.f90 scalar translation; sigh here is the Fortran
+    sigh(k) table for 1-based k (= half_sigma[k])."""
+    ngp = se.shape[0]
+    nlev, nl1 = KX, KX - 1
+    cshc = dsig[nlev - 1] / 3600.0
+    cvdi = (sigh[nl1] - sigh[1]) / ((nl1 - 1) * 3600.0)
+    fshcq = cshc / TRSHC
+    fshcse = cshc / (TRSHC * CP)
+    fvdiq = cvdi / TRVDI
+    fvdise = cvdi / (TRVDS * CP)
+
+    rsig = 1.0 / dsig
+    rsig1 = np.zeros(nlev)
+    for k in range(1, nl1 + 1):                  # 1-based k = 1..nl1
+        rsig1[k - 1] = 1.0 / (1.0 - sigh[k])
+
+    ttenvd = np.zeros((ngp, nlev))
+    qtenvd = np.zeros((ngp, nlev))
+
+    drh0 = RHGRAD * (sig[nlev - 1] - sig[nl1 - 1])
+    fvdiq2 = fvdiq * sigh[nl1]
+    for j in range(ngp):
+        dmse = (se[j, nlev - 1] - se[j, nl1 - 1]) \
+            + ALHC * (qa[j, nlev - 1] - qsat[j, nl1 - 1])
+        drh = rh[j, nlev - 1] - rh[j, nl1 - 1]
+        fcnv = 1.0
+        if dmse >= 0.0:
+            if icnv[j] > 0:
+                fcnv = REDSHC
+            fluxse = fcnv * fshcse * dmse
+            ttenvd[j, nl1 - 1] = fluxse * rsig[nl1 - 1]
+            ttenvd[j, nlev - 1] = -fluxse * rsig[nlev - 1]
+            if drh >= 0.0:
+                fluxq = fcnv * fshcq * qsat[j, nlev - 1] * drh
+                qtenvd[j, nl1 - 1] = fluxq * rsig[nl1 - 1]
+                qtenvd[j, nlev - 1] = -fluxq * rsig[nlev - 1]
+        elif drh >= drh0:
+            fluxq = fvdiq2 * qsat[j, nl1 - 1] * drh
+            qtenvd[j, nl1 - 1] = fluxq * rsig[nl1 - 1]
+            qtenvd[j, nlev - 1] = -fluxq * rsig[nlev - 1]
+
+    for k in range(3, nlev - 1):                 # 1-based k = 3..nlev-2
+        if sigh[k] > 0.5:
+            drh0k = RHGRAD * (sig[k] - sig[k - 1])
+            fvdiq2k = fvdiq * sigh[k]
+            for j in range(ngp):
+                drh = rh[j, k] - rh[j, k - 1]
+                if drh >= drh0k:
+                    fluxq = fvdiq2k * qsat[j, k - 1] * drh
+                    qtenvd[j, k - 1] += fluxq * rsig[k - 1]
+                    qtenvd[j, k] -= fluxq * rsig[k]
+
+    for k in range(1, nl1 + 1):                  # 1-based k = 1..nl1
+        for j in range(ngp):
+            se0 = se[j, k] + SEGRAD * (phi[j, k - 1] - phi[j, k])
+            if se[j, k - 1] < se0:
+                fluxse = fvdise * (se0 - se[j, k - 1])
+                ttenvd[j, k - 1] += fluxse * rsig[k - 1]
+                for k1 in range(k + 1, nlev + 1):
+                    ttenvd[j, k1 - 1] -= fluxse * rsig1[k - 1]
+    return ttenvd, qtenvd
+
+
+# ------------------------------------------------------- random columns
+
+
+def make_columns(seed=0):
+    """Physically-plausible random columns: stable-ish T profile, q in
+    (0, 1.2*qsat), psa around 1."""
+    rng = np.random.default_rng(seed)
+    sig, dsig, hsg, wvi = vertical_tables()
+    psa = rng.uniform(0.72, 1.05, NGP)
+    # temperature: surface 255-310 K (warm columns can convect, cold
+    # ones stay quiet), decreasing upward + noise
+    tsfc = rng.uniform(255.0, 310.0, NGP)
+    ta = np.zeros((NGP, KX))
+    for k in range(KX):
+        ta[:, k] = tsfc - 62.0 * (1.0 - sig[k]) + rng.normal(0, 4.0, NGP)
+    ta = np.clip(ta, 180.0, 320.0)
+    qsat = np.zeros((NGP, KX))
+    for k in range(KX):
+        qsat[:, k] = oracle_shtorh(ta[:, k], psa, sig[k])
+    rh = rng.uniform(0.05, 1.2, (NGP, KX))
+    rh[:, -2:] = rng.uniform(0.55, 1.1, (NGP, 2))   # moist PBL
+    qa = rh * qsat
+    # geopotential: rough hydrostatic integral
+    phi = np.zeros((NGP, KX))
+    phi[:, KX - 1] = 287.0 * ta[:, KX - 1] * (1.0 - sig[KX - 1])
+    for k in range(KX - 2, -1, -1):
+        phi[:, k] = phi[:, k + 1] + 287.0 * 0.5 \
+            * (ta[:, k] + ta[:, k + 1]) * np.log(sig[k + 1] / sig[k])
+    se = CP * ta + phi
+    return dict(sig=sig, dsig=dsig, hsg=hsg, wvi=wvi, psa=psa, ta=ta,
+                qsat=qsat, qa=qa, rh=rh, phi=phi, se=se)
+
+
+def to_grid(a):
+    """(ngp, K) Fortran layout -> (K, NLAT, NLON) framework layout."""
+    return jnp.asarray(a.T.reshape(KX, NLAT, NLON))
+
+
+def from_grid(a):
+    return np.asarray(a).reshape(KX, NGP).T
+
+
+def test_qsat_matches_oracle():
+    c = make_columns(1)
+    for k in (0, KX // 2, KX - 1):
+        ours = qsat_from_t(jnp.asarray(c["ta"][:, k]),
+                           jnp.asarray(c["sig"][k] * c["psa"]))
+        np.testing.assert_allclose(np.asarray(ours), c["qsat"][:, k],
+                                   rtol=1e-12)
+
+
+def test_convmf_matches_oracle():
+    c = make_columns(2)
+    itop_o, cbmf_o, precnv_o, dfse_o, dfqa_o = oracle_convmf(
+        c["psa"], c["se"], c["qa"], c["qsat"], c["sig"], c["dsig"],
+        c["wvi"])
+    assert (itop_o < KX).any() and (itop_o == KX + 1).any(), \
+        "want both convecting and quiet columns"
+
+    itop, cbmf, precnv, dfse, dfqa = convmf(
+        jnp.asarray(c["psa"].reshape(NLAT, NLON)),
+        to_grid(c["se"]), to_grid(c["qa"]), to_grid(c["qsat"]),
+        sig=jnp.asarray(c["sig"]), dsig=jnp.asarray(c["dsig"]),
+        wvi2=jnp.asarray(c["wvi"][:, 1]), p0=P0, grav=GG, alhc=ALHC)
+
+    # itop: ours 0-based with K = none; oracle 1-based with nlev+1 = none
+    np.testing.assert_array_equal(
+        np.asarray(itop).reshape(-1), np.minimum(itop_o, KX + 1) - 1)
+    np.testing.assert_allclose(np.asarray(cbmf).reshape(-1), cbmf_o,
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(precnv).reshape(-1), precnv_o,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(from_grid(dfse), dfse_o, rtol=1e-9,
+                               atol=1e-8)
+    np.testing.assert_allclose(from_grid(dfqa), dfqa_o, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_lscond_matches_oracle():
+    c = make_columns(3)
+    itop_in_o, _, _, _, _ = oracle_convmf(
+        c["psa"], c["se"], c["qa"], c["qsat"], c["sig"], c["dsig"],
+        c["wvi"])
+    itop_o, precls_o, dtlsc_o, dqlsc_o = oracle_lscond(
+        c["psa"], c["qa"], c["qsat"], itop_in_o, c["sig"], c["dsig"])
+
+    itop_in = jnp.asarray((np.minimum(itop_in_o, KX + 1) - 1)
+                          .reshape(NLAT, NLON).astype(np.int32))
+    itop, precls, dtlsc, dqlsc = lscond(
+        jnp.asarray(c["psa"].reshape(NLAT, NLON)),
+        to_grid(c["qa"]), to_grid(c["qsat"]), itop_in,
+        sig=jnp.asarray(c["sig"]), dsig=jnp.asarray(c["dsig"]),
+        p0=P0, grav=GG, cp=CP, alhc=ALHC)
+
+    np.testing.assert_array_equal(
+        np.asarray(itop).reshape(-1), np.minimum(itop_o, KX + 1) - 1)
+    np.testing.assert_allclose(np.asarray(precls).reshape(-1), precls_o,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(from_grid(dtlsc), dtlsc_o, rtol=1e-10,
+                               atol=1e-14)
+    np.testing.assert_allclose(from_grid(dqlsc), dqlsc_o, rtol=1e-10,
+                               atol=1e-14)
+
+
+def test_vdifsc_matches_oracle():
+    c = make_columns(4)
+    itop_o, _, _, _, _ = oracle_convmf(
+        c["psa"], c["se"], c["qa"], c["qsat"], c["sig"], c["dsig"],
+        c["wvi"])
+    icnv = KX - itop_o                    # phy_phypar.f90:108 (nlev-iptop)
+    tt_o, qt_o = oracle_vdifsc(
+        None, None, c["se"], c["rh"], c["qa"], c["qsat"], c["phi"],
+        icnv, c["sig"], c["dsig"], c["hsg"])
+
+    ut, vt, tt, qt = vdifsc(
+        to_grid(np.zeros((NGP, KX))), to_grid(np.zeros((NGP, KX))),
+        to_grid(c["se"]), to_grid(c["rh"]), to_grid(c["qa"]),
+        to_grid(c["qsat"]), to_grid(c["phi"]),
+        jnp.asarray(icnv.reshape(NLAT, NLON)),
+        sig=jnp.asarray(c["sig"]), sigh=jnp.asarray(c["hsg"]),
+        dsig=jnp.asarray(c["dsig"]), cp=CP, alhc=ALHC)
+
+    assert np.abs(np.asarray(ut)).max() == 0.0     # no momentum mixing
+    assert np.abs(np.asarray(vt)).max() == 0.0     # in the reference
+    np.testing.assert_allclose(from_grid(tt), tt_o, rtol=1e-10,
+                               atol=1e-14)
+    np.testing.assert_allclose(from_grid(qt), qt_o, rtol=1e-10,
+                               atol=1e-14)
