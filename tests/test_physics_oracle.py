@@ -388,6 +388,431 @@ def test_lscond_matches_oracle():
                                atol=1e-14)
 
 
+# mod_radcon.f90:57-94
+RHCL1, RHCL2, QACL, WPCL, PMAXCL = 0.30, 1.00, 0.20, 0.2, 10.0
+CLSMAX, CLSMINL, GSE_S0, GSE_S1 = 0.60, 0.15, 0.25, 0.40
+ALBCL, ALBCLS, EPSLW = 0.43, 0.50, 0.05
+ABSDRY, ABSAER, ABSWV1, ABSWV2 = 0.033, 0.033, 0.022, 15.0
+ABSCL1, ABSCL2 = 0.015, 0.15
+ABLWIN, ABLCO2, ABLWV1, ABLWV2 = 0.3, 6.0, 0.7, 50.0
+ABLCL1, ABLCL2 = 12.0, 0.6
+
+
+def oracle_cloud(qa, rh, precnv, precls, iptop, gse, fmask):
+    """phy_radiat.f90:123-233 scalar translation (inew=1 branch);
+    iptop/icltop 1-based, nlev+1 = no cloud."""
+    ngp = qa.shape[0]
+    nlev, nl1, nlp = KX, KX - 1, KX + 1
+    rrcl = 1.0 / (RHCL2 - RHCL1)
+    cloudc = np.zeros(ngp)
+    icltop = np.zeros(ngp, dtype=int)
+    clstr = np.zeros(ngp)
+
+    for j in range(ngp):
+        if rh[j, nl1 - 1] > RHCL1:
+            cloudc[j] = rh[j, nl1 - 1] - RHCL1
+            icltop[j] = nl1
+        else:
+            cloudc[j] = 0.0
+            icltop[j] = nlp
+    for k in range(3, nlev - 1):                 # 1-based 3..nlev-2
+        for j in range(ngp):
+            drh = rh[j, k - 1] - RHCL1
+            if drh > cloudc[j] and qa[j, k - 1] > QACL:
+                cloudc[j] = drh
+                icltop[j] = k
+    for j in range(ngp):
+        cl1 = min(1.0, cloudc[j] * rrcl)
+        pr1 = min(PMAXCL, 86.4 * (precnv[j] + precls[j]))
+        cloudc[j] = min(1.0, WPCL * np.sqrt(pr1) + cl1 * cl1)
+        icltop[j] = min(iptop[j], icltop[j])
+    qcloud = qa[:, nl1 - 1].copy()
+
+    clfact = 1.2
+    rgse = 1.0 / (GSE_S1 - GSE_S0)
+    for j in range(ngp):
+        fstab = max(0.0, min(1.0, rgse * (gse[j] - GSE_S0)))
+        clstr[j] = fstab * max(CLSMAX - clfact * cloudc[j], 0.0)
+        clstrl = max(clstr[j], CLSMINL) * rh[j, nlev - 1]
+        clstr[j] = clstr[j] + fmask[j] * (clstrl - clstr[j])
+    return icltop, cloudc, clstr, qcloud
+
+
+def oracle_radsw(psa, qa, icltop, cloudc, clstr, qcloud, fsol, ozupp,
+                 ozone, zenit, stratz, albsfc, sig, dsig):
+    """phy_radiat.f90:235-435 scalar translation.  icltop 1-based."""
+    ngp = psa.shape[0]
+    nlev, nl1 = KX, KX - 1
+    fband2 = 0.05
+    fband1 = 1.0 - fband2
+
+    tau2 = np.zeros((ngp, nlev, 4))
+    dfabs = np.zeros((ngp, nlev))
+    for j in range(ngp):
+        if icltop[j] <= nlev:
+            tau2[j, icltop[j] - 1, 2] = ALBCL * cloudc[j]
+        tau2[j, nlev - 1, 2] = ALBCLS * clstr[j]
+
+    psaz = psa * zenit
+    acloud = cloudc * np.minimum(ABSCL1 * qcloud, ABSCL2)
+
+    for j in range(ngp):
+        deltap = psaz[j] * dsig[0]
+        tau2[j, 0, 0] = np.exp(-deltap * ABSDRY)
+    for k in range(2, nl1 + 1):                  # 1-based 2..nl1
+        abs1 = ABSDRY + ABSAER * sig[k - 1] ** 2
+        for j in range(ngp):
+            deltap = psaz[j] * dsig[k - 1]
+            if k >= icltop[j]:
+                tau2[j, k - 1, 0] = np.exp(-deltap * (
+                    abs1 + ABSWV1 * qa[j, k - 1] + acloud[j]))
+            else:
+                tau2[j, k - 1, 0] = np.exp(-deltap * (
+                    abs1 + ABSWV1 * qa[j, k - 1]))
+    abs1 = ABSDRY + ABSAER * sig[nlev - 1] ** 2
+    for j in range(ngp):
+        deltap = psaz[j] * dsig[nlev - 1]
+        tau2[j, nlev - 1, 0] = np.exp(-deltap * (
+            abs1 + ABSWV1 * qa[j, nlev - 1]))
+    for k in range(2, nlev + 1):
+        for j in range(ngp):
+            deltap = psaz[j] * dsig[k - 1]
+            tau2[j, k - 1, 1] = np.exp(-deltap * ABSWV2 * qa[j, k - 1])
+
+    ftop = fsol.copy()
+    flux1 = fsol * fband1
+    flux2 = fsol * fband2
+
+    for j in range(ngp):                         # k=1: ozupp
+        dfabs[j, 0] = flux1[j]
+        flux1[j] = tau2[j, 0, 0] * (flux1[j] - ozupp[j] * psa[j])
+        dfabs[j, 0] -= flux1[j]
+    for j in range(ngp):                         # k=2: ozone
+        dfabs[j, 1] = flux1[j]
+        flux1[j] = tau2[j, 1, 0] * (flux1[j] - ozone[j] * psa[j])
+        dfabs[j, 1] -= flux1[j]
+    for k in range(3, nlev + 1):
+        for j in range(ngp):
+            tau2[j, k - 1, 2] = flux1[j] * tau2[j, k - 1, 2]
+            flux1[j] -= tau2[j, k - 1, 2]
+            dfabs[j, k - 1] = flux1[j]
+            flux1[j] = tau2[j, k - 1, 0] * flux1[j]
+            dfabs[j, k - 1] -= flux1[j]
+    for k in range(2, nlev + 1):
+        for j in range(ngp):
+            dfabs[j, k - 1] += flux2[j]
+            flux2[j] = tau2[j, k - 1, 1] * flux2[j]
+            dfabs[j, k - 1] -= flux2[j]
+
+    fsfcd = flux1 + flux2
+    flux1 = flux1 * albsfc
+    fsfc = fsfcd - flux1
+
+    for k in range(nlev, 0, -1):
+        for j in range(ngp):
+            dfabs[j, k - 1] += flux1[j]
+            flux1[j] = tau2[j, k - 1, 0] * flux1[j]
+            dfabs[j, k - 1] -= flux1[j]
+            flux1[j] += tau2[j, k - 1, 2]
+    ftop = ftop - flux1
+
+    # LW transmissivity init (phy_radiat.f90:392-435)
+    for j in range(ngp):
+        deltap = psa[j] * dsig[0]
+        tau2[j, 0, 0] = np.exp(-deltap * ABLWIN)
+        tau2[j, 0, 1] = np.exp(-deltap * ABLCO2)
+        tau2[j, 0, 2] = 1.0
+        tau2[j, 0, 3] = 1.0
+    for k in range(2, nlev + 1, nlev - 2):       # k = 2 and k = nlev
+        for j in range(ngp):
+            deltap = psa[j] * dsig[k - 1]
+            tau2[j, k - 1, 0] = np.exp(-deltap * ABLWIN)
+            tau2[j, k - 1, 1] = np.exp(-deltap * ABLCO2)
+            tau2[j, k - 1, 2] = np.exp(-deltap * ABLWV1 * qa[j, k - 1])
+            tau2[j, k - 1, 3] = np.exp(-deltap * ABLWV2 * qa[j, k - 1])
+    acloud = cloudc * ABLCL2
+    for k in range(3, nl1 + 1):
+        for j in range(ngp):
+            deltap = psa[j] * dsig[k - 1]
+            if k < icltop[j]:
+                acloud1 = acloud[j]
+            else:
+                acloud1 = ABLCL1 * cloudc[j]
+            tau2[j, k - 1, 0] = np.exp(-deltap * (ABLWIN + acloud1))
+            tau2[j, k - 1, 1] = np.exp(-deltap * ABLCO2)
+            tau2[j, k - 1, 2] = np.exp(-deltap * max(
+                ABLWV1 * qa[j, k - 1], acloud[j]))
+            tau2[j, k - 1, 3] = np.exp(-deltap * max(
+                ABLWV2 * qa[j, k - 1], acloud[j]))
+
+    stratc = np.zeros((ngp, 2))
+    eps1 = EPSLW / (dsig[0] + dsig[1])
+    for j in range(ngp):
+        stratc[j, 0] = stratz[j] * psa[j]
+        stratc[j, 1] = eps1 * psa[j]
+    return fsfcd, fsfc, ftop, dfabs, tau2, stratc
+
+
+def test_cloud_and_radsw_match_oracle():
+    from speedy_ml_tpu.physics.radiation import SolarForcing, cloud, radsw
+
+    c = make_columns(5)
+    rng = np.random.default_rng(50)
+    itop_o, _, precnv_o, _, _ = oracle_convmf(
+        c["psa"], c["se"], c["qa"], c["qsat"], c["sig"], c["dsig"],
+        c["wvi"])
+    itop_ls, precls_o, _, _ = oracle_lscond(
+        c["psa"], c["qa"], c["qsat"], itop_o, c["sig"], c["dsig"])
+    gse = rng.uniform(0.0, 0.6, NGP)
+    fmask = rng.uniform(0.0, 1.0, NGP)
+
+    icltop_o, cloudc_o, clstr_o, qcloud_o = oracle_cloud(
+        c["qa"], c["rh"], precnv_o, precls_o, itop_ls, gse, fmask)
+
+    itop_ours = jnp.asarray((np.minimum(itop_ls, KX + 1) - 1)
+                            .reshape(NLAT, NLON).astype(np.int32))
+    icltop, cloudc, clstr, qcloud = cloud(
+        to_grid(c["qa"]), to_grid(c["rh"]),
+        jnp.asarray(precnv_o.reshape(NLAT, NLON)),
+        jnp.asarray(precls_o.reshape(NLAT, NLON)),
+        itop_ours, jnp.asarray(gse.reshape(NLAT, NLON)),
+        jnp.asarray(fmask.reshape(NLAT, NLON)))
+    np.testing.assert_array_equal(
+        np.asarray(icltop).reshape(-1), np.minimum(icltop_o, KX + 1) - 1)
+    np.testing.assert_allclose(np.asarray(cloudc).reshape(-1), cloudc_o,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(clstr).reshape(-1), clstr_o,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(qcloud).reshape(-1), qcloud_o,
+                               rtol=1e-12)
+
+    # random but positive solar-geometry inputs for both sides
+    fsol = rng.uniform(0.0, 420.0, NGP)
+    ozupp = rng.uniform(0.0, 15.0, NGP)
+    ozone = rng.uniform(0.0, 15.0, NGP)
+    zenit = rng.uniform(1.0, 4.0, NGP)
+    stratz = rng.uniform(0.0, 10.0, NGP)
+    albsfc = rng.uniform(0.05, 0.6, NGP)
+
+    o_fsfcd, o_fsfc, o_ftop, o_dfabs, o_tau2, o_stratc = oracle_radsw(
+        c["psa"], c["qa"], icltop_o, cloudc_o, clstr_o, qcloud_o,
+        fsol.copy(), ozupp, ozone, zenit, stratz, albsfc, c["sig"],
+        c["dsig"])
+
+    g2 = lambda a: jnp.asarray(a.reshape(NLAT, NLON))
+    sol = SolarForcing(fsol=g2(fsol), ozupp=g2(ozupp), ozone=g2(ozone),
+                       zenit=g2(zenit), stratz=g2(stratz))
+    ssrd, ssr, tsr, dfabs_sw, tau2, stratc = radsw(
+        g2(c["psa"]), to_grid(c["qa"]), np.asarray(icltop).reshape(
+            NLAT, NLON), g2(cloudc_o), g2(clstr_o), g2(qcloud_o), sol,
+        g2(albsfc), sig=jnp.asarray(c["sig"]), dsig=jnp.asarray(c["dsig"]))
+
+    np.testing.assert_allclose(np.asarray(ssrd).reshape(-1), o_fsfcd,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ssr).reshape(-1), o_fsfc,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tsr).reshape(-1), o_ftop,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(from_grid(dfabs_sw), o_dfabs,
+                               rtol=1e-9, atol=1e-10)
+    # tau2 layout: ours (K, 4, lat, lon) vs oracle (ngp, K, 4)
+    t_ours = np.asarray(tau2).reshape(KX, 4, NGP).transpose(2, 0, 1)
+    np.testing.assert_allclose(t_ours, o_tau2, rtol=1e-10, atol=1e-12)
+    s_ours = np.asarray(stratc).reshape(2, NGP).T
+    np.testing.assert_allclose(s_ours, o_stratc, rtol=1e-12)
+
+
+EMISFC, SBC_REF = 0.98, 5.67e-8
+
+
+def oracle_fband():
+    """radset (phy_radiat.f90:659-692): fband(100:400, 1:4)."""
+    eps1 = 1.0 - EPSLW
+    fb = np.zeros((401, 5))                      # 1-based band index
+    for jt in range(200, 321):
+        fb[jt, 2] = (0.148 - 3.0e-6 * (jt - 247) ** 2) * eps1
+        fb[jt, 3] = (0.356 - 5.2e-6 * (jt - 282) ** 2) * eps1
+        fb[jt, 4] = (0.314 + 1.0e-5 * (jt - 315) ** 2) * eps1
+        fb[jt, 1] = eps1 - (fb[jt, 2] + fb[jt, 3] + fb[jt, 4])
+    for jb in range(1, 5):
+        fb[100:200, jb] = fb[200, jb]
+        fb[321:401, jb] = fb[320, jb]
+    return fb
+
+
+def _nint(x):
+    return int(np.floor(x + 0.5))
+
+
+def oracle_radlw(ta, ts, tau2, stratc, dsig, wvi):
+    """phy_radiat.f90:437-657 scalar translation, imode=0 flow
+    (down + up in one call).  tau2 (ngp, nlev, 4) is the LW set from
+    oracle_radsw; returns fsfcd, fsfcu, fsfc, ftop, dfabs, flux after
+    the downward pass."""
+    ngp, nlev = ta.shape
+    nl1 = nlev - 1
+    fb = oracle_fband()
+    refsfc = 1.0 - EMISFC
+    sbc = SBC_REF
+
+    st4a = np.zeros((ngp, nlev, 2))
+    for k in range(1, nl1 + 1):                  # boundary temps
+        for j in range(ngp):
+            st4a[j, k - 1, 0] = ta[j, k - 1] + wvi[k - 1, 1] * (
+                ta[j, k] - ta[j, k - 1])
+    for j in range(ngp):
+        st4a[j, 0, 1] = 0.75 * ta[j, 0] + 0.25 * st4a[j, 0, 0]
+        st4a[j, 1, 1] = 0.50 * ta[j, 1] + 0.25 * (st4a[j, 0, 0]
+                                                  + st4a[j, 1, 0])
+    anis, anish = 1.0, 0.5
+    for k in range(3, nl1 + 1):
+        for j in range(ngp):
+            st4a[j, k - 1, 1] = anish * max(
+                st4a[j, k - 1, 0] - st4a[j, k - 2, 0], 0.0)
+    for j in range(ngp):
+        st4a[j, nlev - 1, 1] = anis * max(
+            ta[j, nlev - 1] - st4a[j, nl1 - 1, 0], 0.0)
+    for k in range(1, 3):
+        for j in range(ngp):
+            st4a[j, k - 1, 0] = sbc * st4a[j, k - 1, 1] ** 4
+            st4a[j, k - 1, 1] = 0.0
+    for k in range(3, nlev + 1):
+        for j in range(ngp):
+            st3a = sbc * ta[j, k - 1] ** 3
+            st4a[j, k - 1, 0] = st3a * ta[j, k - 1]
+            st4a[j, k - 1, 1] = 4.0 * st3a * st4a[j, k - 1, 1]
+
+    fsfcd = np.zeros(ngp)
+    dfabs = np.zeros((ngp, nlev))
+    flux = np.zeros((ngp, 4))
+
+    for jb in range(1, 3):                       # stratosphere k=1
+        for j in range(ngp):
+            emis = 1.0 - tau2[j, 0, jb - 1]
+            brad = fb[_nint(ta[j, 0]), jb] * (st4a[j, 0, 0]
+                                              + emis * st4a[j, 0, 1])
+            flux[j, jb - 1] = emis * brad
+            dfabs[j, 0] -= flux[j, jb - 1]
+
+    for jb in range(1, 5):                       # troposphere down
+        for k in range(2, nlev + 1):
+            for j in range(ngp):
+                emis = 1.0 - tau2[j, k - 1, jb - 1]
+                brad = fb[_nint(ta[j, k - 1]), jb] * (
+                    st4a[j, k - 1, 0] + emis * st4a[j, k - 1, 1])
+                dfabs[j, k - 1] += flux[j, jb - 1]
+                flux[j, jb - 1] = tau2[j, k - 1, jb - 1] \
+                    * flux[j, jb - 1] + emis * brad
+                dfabs[j, k - 1] -= flux[j, jb - 1]
+
+    for jb in range(4):
+        fsfcd += EMISFC * flux[:, jb]
+    eps1 = EPSLW * EMISFC
+    for j in range(ngp):
+        corlw = eps1 * st4a[j, nlev - 1, 0]
+        dfabs[j, nlev - 1] -= corlw
+        fsfcd[j] += corlw
+    dfabs_down = dfabs.copy()
+    flux_down = flux.copy()
+
+    esbc = EMISFC * sbc
+    fsfcu = esbc * ts ** 4
+    fsfc = fsfcu - fsfcd
+
+    for jb in range(1, 5):
+        for j in range(ngp):
+            flux[j, jb - 1] = fb[_nint(ts[j]), jb] * fsfcu[j] \
+                + refsfc * flux[j, jb - 1]
+    for j in range(ngp):
+        dfabs[j, nlev - 1] += EPSLW * fsfcu[j]
+    for jb in range(1, 5):
+        for k in range(nlev, 1, -1):
+            for j in range(ngp):
+                emis = 1.0 - tau2[j, k - 1, jb - 1]
+                brad = fb[_nint(ta[j, k - 1]), jb] * (
+                    st4a[j, k - 1, 0] - emis * st4a[j, k - 1, 1])
+                dfabs[j, k - 1] += flux[j, jb - 1]
+                flux[j, jb - 1] = tau2[j, k - 1, jb - 1] \
+                    * flux[j, jb - 1] + emis * brad
+                dfabs[j, k - 1] -= flux[j, jb - 1]
+    for jb in range(1, 3):
+        for j in range(ngp):
+            emis = 1.0 - tau2[j, 0, jb - 1]
+            brad = fb[_nint(ta[j, 0]), jb] * (st4a[j, 0, 0]
+                                              - emis * st4a[j, 0, 1])
+            dfabs[j, 0] += flux[j, jb - 1]
+            flux[j, jb - 1] = tau2[j, 0, jb - 1] * flux[j, jb - 1] \
+                + emis * brad
+            dfabs[j, 0] -= flux[j, jb - 1]
+
+    ftop = np.zeros(ngp)
+    for j in range(ngp):
+        corlw1 = dsig[0] * stratc[j, 1] * st4a[j, 0, 0] + stratc[j, 0]
+        corlw2 = dsig[1] * stratc[j, 1] * st4a[j, 1, 0]
+        dfabs[j, 0] -= corlw1
+        dfabs[j, 1] -= corlw2
+        ftop[j] = corlw1 + corlw2
+    for jb in range(4):
+        ftop += flux[:, jb]
+    return fsfcd, fsfcu, fsfc, ftop, dfabs, dfabs_down, flux_down
+
+
+def test_radlw_matches_oracle():
+    from speedy_ml_tpu.physics.radiation import (build_fband, radlw_down,
+                                                 radlw_up)
+
+    c = make_columns(6)
+    rng = np.random.default_rng(60)
+    # LW tau2/stratc from the (already oracle-verified) radsw chain
+    itop_o, _, precnv_o, _, _ = oracle_convmf(
+        c["psa"], c["se"], c["qa"], c["qsat"], c["sig"], c["dsig"],
+        c["wvi"])
+    itop_ls, precls_o, _, _ = oracle_lscond(
+        c["psa"], c["qa"], c["qsat"], itop_o, c["sig"], c["dsig"])
+    gse = rng.uniform(0.0, 0.6, NGP)
+    fmask = rng.uniform(0.0, 1.0, NGP)
+    icltop_o, cloudc_o, clstr_o, qcloud_o = oracle_cloud(
+        c["qa"], c["rh"], precnv_o, precls_o, itop_ls, gse, fmask)
+    fsol = rng.uniform(0.0, 420.0, NGP)
+    _, _, _, _, tau2_o, stratc_o = oracle_radsw(
+        c["psa"], c["qa"], icltop_o, cloudc_o, clstr_o, qcloud_o,
+        fsol.copy(), rng.uniform(0, 15, NGP), rng.uniform(0, 15, NGP),
+        rng.uniform(1, 4, NGP), rng.uniform(0, 10, NGP),
+        rng.uniform(0.05, 0.6, NGP), c["sig"], c["dsig"])
+    ts = rng.uniform(230.0, 310.0, NGP)
+
+    o_fsfcd, o_fsfcu, o_fsfc, o_ftop, o_dfabs, o_dfabs_dn, o_flux_dn = \
+        oracle_radlw(c["ta"], ts, tau2_o, stratc_o, c["dsig"], c["wvi"])
+
+    fband_tab = jnp.asarray(build_fband())
+    tau2_ours = jnp.asarray(
+        tau2_o.transpose(1, 2, 0).reshape(KX, 4, NLAT, NLON))
+    stratc_ours = jnp.asarray(stratc_o.T.reshape(2, NLAT, NLON))
+    slrd, dfabs_dn, flux_bands, st4a = radlw_down(
+        to_grid(c["ta"]), tau2_ours, fband_tab,
+        wvi2=jnp.asarray(c["wvi"][:, 1]), dsig=jnp.asarray(c["dsig"]),
+        sbc=SBC_REF)
+    np.testing.assert_allclose(np.asarray(slrd).reshape(-1), o_fsfcd,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(from_grid(dfabs_dn), o_dfabs_dn,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(flux_bands).reshape(4, NGP).T, o_flux_dn,
+        rtol=1e-10, atol=1e-10)
+
+    slru = jnp.asarray((EMISFC * SBC_REF * ts ** 4).reshape(NLAT, NLON))
+    slr, olr, dfabs = radlw_up(
+        to_grid(c["ta"]), jnp.asarray(ts.reshape(NLAT, NLON)), slrd,
+        slru, dfabs_dn, flux_bands, st4a, tau2_ours, stratc_ours,
+        fband_tab, dsig=jnp.asarray(c["dsig"]), sbc=SBC_REF)
+    np.testing.assert_allclose(np.asarray(slr).reshape(-1), o_fsfc,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(olr).reshape(-1), o_ftop,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(from_grid(dfabs), o_dfabs,
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_vdifsc_matches_oracle():
     c = make_columns(4)
     itop_o, _, _, _, _ = oracle_convmf(
