@@ -87,18 +87,22 @@ def main():
         # needed.  Throughput here is the device's true cycle rate.
         import jax.lax as lax
 
+        # params as a jit ARGUMENT: inside a trace hyb.cycle's concrete
+        # self.params would become 2+ GB of program constants and the
+        # tunneled-backend compile exceeds 20 minutes
         @jax.jit
-        def run_chain(s):
+        def run_chain(prm, s):
             def body(c, _):
-                c2, _ = hyb.cycle(c, imon, fmon, tyear)
+                c2, _ = hyb.cycle_with_params(prm, c, imon, fmon, tyear)
                 return c2, None
             return lax.scan(body, s, None, length=chain)[0]
 
-        cur = run_chain(hstate)        # compile + warm
+        params = hyb.params
+        cur = run_chain(params, hstate)        # compile + warm
         sync(cur)
         log("bench: chain compiled; timing")
         t0 = time.time()
-        cur = run_chain(cur)
+        cur = run_chain(params, cur)
         sync(cur)
         elapsed = time.time() - t0
         n_cycles = chain

@@ -813,6 +813,229 @@ def test_radlw_matches_oracle():
                                rtol=1e-9, atol=1e-9)
 
 
+# mod_sflcon.f90
+FWIND0, FTEMP0, FHUM0 = 0.95, 1.0, 0.0
+CDL, CDS, CHL, CHS = 2.4e-3, 1.0e-3, 1.2e-3, 0.9e-3
+VGUST, CTDAY, DTHETA_S, FSTAB = 5.0, 1.0e-2, 3.0, 0.67
+HDRAG, FHDRAG, CLAMBDA, CLAMBSN = 2000.0, 0.5, 7.0, 7.0
+RD = 287.0
+
+
+def oracle_suflux(psa, ua, va, ta, qa, phi, phi0, fmask, tland, tsea,
+                  swav, ssrd, slrd, forog, alb_l, alb_s, snowc, clat,
+                  sig, wvi):
+    """phy_suflux.f90 scalar translation (lfluxland=.true., fhum0=0).
+
+    clat: (ngp,) cos(lat) already expanded per point.  Returns a dict of
+    all outputs; the 3rd flux slot is the land/sea weighted average."""
+    ngp = psa.shape[0]
+    nlev, nl1 = KX, KX - 1
+    esbc = 0.98 * SBC_REF
+    esbc4 = 4.0 * esbc
+    dlambda = CLAMBSN - CLAMBDA
+    sigl = np.log(sig)
+
+    u0 = FWIND0 * ua[:, nlev - 1]
+    v0 = FWIND0 * va[:, nlev - 1]
+
+    gtemp0 = 1.0 - FTEMP0
+    rcp = 1.0 / CP
+    rdphi0 = -1.0 / (RD * 288.0 * sigl[nlev - 1])
+    t1 = np.zeros((ngp, 2))
+    t2 = np.zeros((ngp, 2))
+    for j in range(ngp):
+        dt1 = wvi[nlev - 1, 1] * (ta[j, nlev - 1] - ta[j, nl1 - 1])
+        t1[j, 0] = ta[j, nlev - 1] + dt1
+        t1[j, 1] = t1[j, 0] + phi0[j] * dt1 * rdphi0
+        t2[j, 1] = ta[j, nlev - 1] + rcp * phi[j, nlev - 1]
+        t2[j, 0] = t2[j, 1] - rcp * phi0[j]
+    t0 = np.zeros(ngp)
+    for j in range(ngp):
+        if ta[j, nlev - 1] > ta[j, nl1 - 1]:
+            t1[j, 0] = FTEMP0 * t1[j, 0] + gtemp0 * t2[j, 0]
+            t1[j, 1] = FTEMP0 * t1[j, 1] + gtemp0 * t2[j, 1]
+        else:
+            t1[j, 0] = ta[j, nlev - 1]
+            t1[j, 1] = ta[j, nlev - 1]
+        t0[j] = t1[j, 1] + fmask[j] * (t1[j, 0] - t1[j, 1])
+
+    prd = P0 / RD
+    vg2 = VGUST * VGUST
+    denvvs = np.zeros((ngp, 3))
+    for j in range(ngp):
+        denvvs[j, 0] = (prd * psa[j] / t0[j]) * np.sqrt(
+            u0[j] ** 2 + v0[j] ** 2 + vg2)
+
+    tskin = np.zeros(ngp)
+    for j in range(ngp):
+        tskin[j] = tland[j] + CTDAY * np.sqrt(clat[j]) * ssrd[j] \
+            * (1.0 - alb_l[j]) * psa[j]
+
+    rdth = FSTAB / DTHETA_S
+    astab = 0.5
+    for j in range(ngp):
+        if tskin[j] > t2[j, 0]:
+            dthl = min(DTHETA_S, tskin[j] - t2[j, 0])
+        else:
+            dthl = max(-DTHETA_S, astab * (tskin[j] - t2[j, 0]))
+        denvvs[j, 1] = denvvs[j, 0] * (1.0 + dthl * rdth)
+
+    ustr = np.zeros((ngp, 3))
+    vstr = np.zeros((ngp, 3))
+    shf = np.zeros((ngp, 3))
+    evap = np.zeros((ngp, 3))
+    slru = np.zeros((ngp, 3))
+    hfluxn = np.zeros((ngp, 2))
+    for j in range(ngp):
+        cdldv = CDL * denvvs[j, 0] * forog[j]
+        ustr[j, 0] = -cdldv * ua[j, nlev - 1]
+        vstr[j, 0] = -cdldv * va[j, nlev - 1]
+    chlcp = CHL * CP
+    for j in range(ngp):
+        shf[j, 0] = chlcp * denvvs[j, 1] * (tskin[j] - t1[j, 0])
+
+    q1 = np.zeros((ngp, 2))
+    q1[:, 0] = qa[:, nlev - 1]                   # fhum0 = 0
+    qsat0 = np.zeros((ngp, 2))
+    qsat0[:, 0] = oracle_shtorh(tskin, psa, 1.0)
+    for j in range(ngp):
+        evap[j, 0] = CHL * denvvs[j, 1] * max(
+            0.0, swav[j] * qsat0[j, 0] - q1[j, 0])
+
+    dslr = np.zeros(ngp)
+    clamb = np.zeros(ngp)
+    dtskin = np.zeros(ngp)
+    for j in range(ngp):
+        tsk3 = tskin[j] ** 3
+        dslr[j] = esbc4 * tsk3
+        slru[j, 0] = esbc * tsk3 * tskin[j]
+        hfluxn[j, 0] = ssrd[j] * (1.0 - alb_l[j]) + slrd[j] \
+            - (slru[j, 0] + shf[j, 0] + ALHC * evap[j, 0])
+    for j in range(ngp):
+        clamb[j] = CLAMBDA + snowc[j] * dlambda
+        hfluxn[j, 0] -= clamb[j] * (tskin[j] - tland[j])
+        dtskin[j] = tskin[j] + 1.0
+    qsat0[:, 1] = oracle_shtorh(dtskin, psa, 1.0)
+    for j in range(ngp):
+        if evap[j, 0] > 0:
+            qsat0[j, 1] = swav[j] * (qsat0[j, 1] - qsat0[j, 0])
+        else:
+            qsat0[j, 1] = 0.0
+    for j in range(ngp):
+        dhfdt = clamb[j] + dslr[j] + CHL * denvvs[j, 1] * (
+            CP + ALHC * qsat0[j, 1])
+        dtskin[j] = hfluxn[j, 0] / dhfdt
+        tskin[j] += dtskin[j]
+    for j in range(ngp):
+        shf[j, 0] += chlcp * denvvs[j, 1] * dtskin[j]
+        evap[j, 0] += CHL * denvvs[j, 1] * qsat0[j, 1] * dtskin[j]
+        slru[j, 0] += dslr[j] * dtskin[j]
+        hfluxn[j, 0] = clamb[j] * (tskin[j] - tland[j])
+
+    for j in range(ngp):
+        if tsea[j] > t2[j, 1]:
+            dths = min(DTHETA_S, tsea[j] - t2[j, 1])
+        else:
+            dths = max(-DTHETA_S, astab * (tsea[j] - t2[j, 1]))
+        denvvs[j, 2] = denvvs[j, 0] * (1.0 + dths * rdth)
+    q1[:, 1] = qa[:, nlev - 1]                   # fhum0 = 0
+    for j in range(ngp):
+        cdsdv = CDS * denvvs[j, 2]
+        ustr[j, 1] = -cdsdv * ua[j, nlev - 1]
+        vstr[j, 1] = -cdsdv * va[j, nlev - 1]
+    chscp = CHS * CP
+    for j in range(ngp):
+        shf[j, 1] = chscp * denvvs[j, 2] * (tsea[j] - t1[j, 1])
+    qsat_sea = oracle_shtorh(tsea, psa, 1.0)
+    for j in range(ngp):
+        evap[j, 1] = CHS * denvvs[j, 2] * (qsat_sea[j] - q1[j, 1])
+    for j in range(ngp):
+        slru[j, 1] = esbc * tsea[j] ** 4
+        hfluxn[j, 1] = ssrd[j] * (1.0 - alb_s[j]) + slrd[j] \
+            - (slru[j, 1] + shf[j, 1] + ALHC * evap[j, 1])
+
+    tsfc = np.zeros(ngp)
+    q0 = np.zeros(ngp)
+    tskin_w = np.zeros(ngp)
+    for j in range(ngp):
+        ustr[j, 2] = ustr[j, 1] + fmask[j] * (ustr[j, 0] - ustr[j, 1])
+        vstr[j, 2] = vstr[j, 1] + fmask[j] * (vstr[j, 0] - vstr[j, 1])
+        shf[j, 2] = shf[j, 1] + fmask[j] * (shf[j, 0] - shf[j, 1])
+        evap[j, 2] = evap[j, 1] + fmask[j] * (evap[j, 0] - evap[j, 1])
+        slru[j, 2] = slru[j, 1] + fmask[j] * (slru[j, 0] - slru[j, 1])
+        tsfc[j] = tsea[j] + fmask[j] * (tland[j] - tsea[j])
+        tskin_w[j] = tsea[j] + fmask[j] * (tskin[j] - tsea[j])
+        t0[j] = t1[j, 1] + fmask[j] * (t1[j, 0] - t1[j, 1])
+        q0[j] = q1[j, 1] + fmask[j] * (q1[j, 0] - q1[j, 1])
+    return dict(ustr=ustr, vstr=vstr, shf=shf, evap=evap, slru=slru,
+                hfluxn=hfluxn, tsfc=tsfc, tskin=tskin_w, u0=u0, v0=v0,
+                t0=t0, q0=q0)
+
+
+def test_suflux_matches_oracle():
+    from speedy_ml_tpu.physics.surface import sflset, suflux
+
+    c = make_columns(7)
+    rng = np.random.default_rng(70)
+    ua = rng.uniform(-30.0, 30.0, (NGP, KX))
+    va = rng.uniform(-30.0, 30.0, (NGP, KX))
+    phi0 = rng.uniform(0.0, 3.0e4, NGP)
+    fmask = rng.uniform(0.0, 1.0, NGP)
+    tland = rng.uniform(250.0, 315.0, NGP)
+    tsea = rng.uniform(271.0, 304.0, NGP)
+    swav = rng.uniform(0.0, 1.0, NGP)
+    ssrd = rng.uniform(0.0, 400.0, NGP)
+    slrd = rng.uniform(100.0, 450.0, NGP)
+    alb_l = rng.uniform(0.05, 0.7, NGP)
+    alb_s = rng.uniform(0.06, 0.5, NGP)
+    snowc = rng.uniform(0.0, 1.0, NGP)
+    clat_row = np.cos(np.linspace(-1.2, 1.2, NLAT))
+    clat = np.repeat(clat_row, NLON)
+    forog = sflset(phi0.reshape(NLAT, NLON), GG).reshape(-1)
+    # oracle forog from sflset (phy_suflux.f90:358-381)
+    forog_o = 1.0 + FHDRAG * (1.0 - np.exp(-np.maximum(phi0, 0.0)
+                                           / (GG * HDRAG)))
+    np.testing.assert_allclose(forog, forog_o, rtol=1e-12)
+
+    o = oracle_suflux(c["psa"], ua, va, c["ta"], c["qa"], c["phi"],
+                      phi0, fmask, tland, tsea, swav, ssrd, slrd,
+                      forog_o, alb_l, alb_s, snowc, clat, c["sig"],
+                      c["wvi"])
+
+    g2 = lambda a: jnp.asarray(a.reshape(NLAT, NLON))
+    sigl = np.log(c["sig"])
+    fx = suflux(g2(c["psa"]), to_grid(ua), to_grid(va), to_grid(c["ta"]),
+                to_grid(c["qa"]), to_grid(c["rh"]), to_grid(c["phi"]),
+                phi0=g2(phi0), fmask=g2(fmask), tland=g2(tland),
+                tsea=g2(tsea), swav=g2(swav), ssrd=g2(ssrd),
+                slrd=g2(slrd), forog=g2(forog_o), alb_l=g2(alb_l),
+                alb_s=g2(alb_s), snowc=g2(snowc),
+                clat_row=jnp.asarray(clat_row),
+                sigl_bot=float(sigl[KX - 1]),
+                wvi2_bot=float(c["wvi"][KX - 1, 1]),
+                rd=RD, cp=CP, alhc=ALHC, sbc=SBC_REF)
+
+    flat = lambda a: np.asarray(a).reshape(-1)
+    for i, slot in enumerate(("l", "s", "w")):
+        np.testing.assert_allclose(flat(fx.ustr[i]), o["ustr"][:, i],
+                                   rtol=1e-10, atol=1e-12, err_msg=slot)
+        np.testing.assert_allclose(flat(fx.vstr[i]), o["vstr"][:, i],
+                                   rtol=1e-10, atol=1e-12, err_msg=slot)
+        np.testing.assert_allclose(flat(fx.shf[i]), o["shf"][:, i],
+                                   rtol=1e-10, atol=1e-10, err_msg=slot)
+        np.testing.assert_allclose(flat(fx.evap[i]), o["evap"][:, i],
+                                   rtol=1e-10, atol=1e-12, err_msg=slot)
+        np.testing.assert_allclose(flat(fx.slru[i]), o["slru"][:, i],
+                                   rtol=1e-10, atol=1e-10, err_msg=slot)
+    np.testing.assert_allclose(flat(fx.hfluxn[0]), o["hfluxn"][:, 0],
+                               rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(flat(fx.hfluxn[1]), o["hfluxn"][:, 1],
+                               rtol=1e-9, atol=1e-8)
+    for k in ("tsfc", "tskin", "u0", "v0", "t0", "q0"):
+        np.testing.assert_allclose(flat(getattr(fx, k)), o[k],
+                                   rtol=1e-10, atol=1e-10, err_msg=k)
+
+
 def test_vdifsc_matches_oracle():
     c = make_columns(4)
     itop_o, _, _, _, _ = oracle_convmf(
