@@ -47,6 +47,40 @@ from speedy_ml_tpu.hybrid.model import ClassPack
 from speedy_ml_tpu.hybrid.training import NVAR
 
 
+def _staging_device():
+    """CPU device for host-side prep when the default backend is a
+    (tunneled) accelerator; None when already on CPU.
+
+    MEASURED (round 5): the tunneled TPU client pins a host staging copy
+    of EVERY host->device transfer for the LIFE OF THE PROCESS — 100% of
+    transferred bytes, unaffected by sync/del (device->host readbacks
+    reuse a bounded pool and do not leak).  Three rounds of training-run
+    OOM kills (anon-RSS 95-109 GB) trace to this: shipping the raw
+    gridded series to the chip for packing/standardization pins the
+    whole series.  The fix: run pack/standardize/noise on the in-process
+    CPU backend and transfer ONLY the packed training series (z, target,
+    model block) to the chip — the pinned volume drops ~5x and becomes
+    independent of the raw grid size."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class _null_ctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def _staging_ctx(dev):
+    return jax.default_device(dev) if dev is not None else _null_ctx()
+
+
 class ArraySource:
     """In-memory SeriesSource over the hybrid.training truth/model dicts.
 
@@ -190,12 +224,12 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
     comp_out = component_expansion(xc, yc, NVAR, nz, logp=True, precip=True,
                                    sst=False, tisr=False)
     nc = n_components(NVAR, nz, logp=True, precip=True, sst=True, tisr=True)
-    cm = jnp.asarray(comp_in)
+    cm = np.asarray(comp_in)
     onehot_np = np.zeros((len(comp_in), nc), dtype=np.float64)
     onehot_np[np.arange(len(comp_in)), comp_in] = 1.0
-    onehot = jnp.asarray(onehot_np, dtype=dtype)
-    iy = jnp.asarray(cls.iy_in)
-    ix = jnp.asarray(cls.ix_in)
+    onehot = np.asarray(onehot_np, dtype=dtype)
+    iy = np.asarray(cls.iy_in)
+    ix = np.asarray(cls.ix_in)
 
     @jax.jit
     def acc(chunk, s1, s2, cnt):
@@ -205,32 +239,36 @@ def streaming_standardizer(layout: RegionLayout, cls, source, nz: int, *,
         cnt = cnt + onehot.sum(axis=0) * series.shape[0]
         return s1, s2, cnt
 
+    # the whole accumulation runs on the staging (CPU) device: shipping
+    # the raw grids to a tunneled chip pins them in host RAM forever
+    # (see _staging_device) and the stats are a single cheap pass
     Rc = cls.count
-    s1 = jnp.zeros((Rc, nc), dtype=dtype)
-    s2 = jnp.zeros((Rc, nc), dtype=dtype)
-    cnt = jnp.zeros((nc,), dtype=dtype)
     T = source.n_samples
-    prev = None
-    for t0 in range(0, T, time_chunk):
-        idx = np.arange(t0, min(t0 + time_chunk, T))
-        chunk = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
-        if prev is not None:        # bound in-flight staging copies
-            float(prev[0])          # host readback (real sync on axon)
-        s1, s2, cnt = acc(chunk, s1, s2, cnt)
-        prev = cnt
+    with _staging_ctx(_staging_device()):
+        s1 = jnp.zeros((Rc, nc), dtype=dtype)
+        s2 = jnp.zeros((Rc, nc), dtype=dtype)
+        cnt = jnp.zeros((nc,), dtype=dtype)
+        for t0 in range(0, T, time_chunk):
+            idx = np.arange(t0, min(t0 + time_chunk, T))
+            chunk = {k: np.asarray(v) for k, v in source.truth_at(idx).items()}
+            s1, s2, cnt = acc(chunk, s1, s2, cnt)
 
-    cnt = jnp.maximum(cnt, 1.0)
-    mean_c = s1 / cnt
-    var_c = s2 / cnt - mean_c**2
-    # constant components standardize to ~0, not through a ~0 std
-    std_c = jnp.where(var_c < 1e-12, 1.0, jnp.sqrt(jnp.maximum(var_c, 0.0)))
-    if std_floor:
-        from speedy_ml_tpu.esn.standardize import floor_component_std
-        std_c = floor_component_std(std_c, NVAR, nz, frac=std_floor)
-    cmo = jnp.asarray(comp_out)
+        cnt = jnp.maximum(cnt, 1.0)
+        mean_c = s1 / cnt
+        var_c = s2 / cnt - mean_c**2
+        # constant components standardize to ~0, not through a ~0 std
+        std_c = jnp.where(var_c < 1e-12, 1.0,
+                          jnp.sqrt(jnp.maximum(var_c, 0.0)))
+        if std_floor:
+            from speedy_ml_tpu.esn.standardize import floor_component_std
+            std_c = floor_component_std(std_c, NVAR, nz, frac=std_floor)
+    # numpy (uncommitted) results: consumers place them where they run
+    mean_c = np.asarray(mean_c)
+    std_c = np.asarray(std_c)
     return Standardizer(comp_mean=mean_c, comp_std=std_c,
                         in_mean=mean_c[:, cm], in_std=std_c[:, cm],
-                        out_mean=mean_c[:, cmo], out_std=std_c[:, cmo])
+                        out_mean=mean_c[:, comp_out],
+                        out_std=std_c[:, comp_out])
 
 
 # ----------------------------------------------------------------------
@@ -401,6 +439,8 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
         hyper, shifts, std.in_mean.shape[1],
         cols=None if shifts is not None else cols, onehots=oh)
     solve = jax.jit(solve_wout, static_argnums=(1, 2, 3))
+    stage_dev = _staging_device()
+    accel_dev = jax.devices()[0]
 
     for r0 in range(0, Rc, region_chunk):
         r1 = min(r0 + region_chunk, Rc)
@@ -417,11 +457,11 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
         rows = np.unique(np.asarray(cls.iy_in[r0:r1]))
         row_of = np.full(int(rows.max()) + 1, -1, dtype=np.int64)
         row_of[rows] = np.arange(len(rows))
-        iy = jnp.asarray(row_of[np.asarray(cls.iy_in[r0:r1])])
-        ix = jnp.asarray(cls.ix_in[r0:r1])
-        iyc = jnp.asarray(row_of[np.asarray(cls.iy_core[r0:r1])])
-        ixc = jnp.asarray(cls.ix_core[r0:r1])
-        rid = jnp.asarray(cls.region_ids[r0:r1], dtype=jnp.int32)
+        iy = np.asarray(row_of[np.asarray(cls.iy_in[r0:r1])])
+        ix = np.asarray(cls.ix_in[r0:r1])
+        iyc = np.asarray(row_of[np.asarray(cls.iy_core[r0:r1])])
+        ixc = np.asarray(cls.ix_core[r0:r1])
+        rid = np.asarray(cls.region_ids[r0:r1], dtype=np.int32)
         in_mean, in_std = std.in_mean[r0:r1], std.in_std[r0:r1]
         out_mean, out_std = std.out_mean[r0:r1], std.out_std[r0:r1]
         pmean = pstd = None
@@ -453,16 +493,22 @@ def train_class_production(layout: RegionLayout, cls, source, hyper: ESNHyper,
                 c0 = pos
                 c1 = min(pos + time_chunk, n_discard + pairs_total)
                 idx = sub_idx[c0:c1]
-                truth = {k: jnp.asarray(np.asarray(v)[..., rows, :])
+                truth = {k: np.asarray(v)[..., rows, :]
                          for k, v in source.truth_at(idx).items()}
                 model = source.model_at(idx) if hybrid else None
                 model = (None if model is None else
-                         {k: jnp.asarray(np.asarray(v)[..., rows, :])
+                         {k: np.asarray(v)[..., rows, :]
                           for k, v in model.items()})
-                z, target, zm = prep(
-                    truth, model, sub_key, jnp.arange(c0, c1), rid,
-                    iy, ix, iyc, ixc, in_mean, in_std, out_mean, out_std,
-                    pmean, pstd)
+                # pack/standardize on the CPU staging device; ship ONLY
+                # the packed series to the chip (see _staging_device)
+                with _staging_ctx(stage_dev):
+                    z, target, zm = prep(
+                        truth, model, sub_key, np.arange(c0, c1), rid,
+                        iy, ix, iyc, ixc, in_mean, in_std, out_mean,
+                        out_std, pmean, pstd)
+                if stage_dev is not None:
+                    z, target, zm = jax.device_put(
+                        (z, target, zm), accel_dev)
                 if c1 <= n_discard:
                     x = advance(vals_ch, win_ch, x, z)
                 elif c0 >= n_discard:
@@ -526,9 +572,9 @@ def ocean_series_production(layout: RegionLayout, cls, atmo_std, source,
     mean_sst_grid)."""
     from speedy_ml_tpu.esn.ocean import (ocean_index_map, ocean_target_slice,
                                          rolling_mean, sst_core_from_input)
-    iy = jnp.asarray(cls.iy_in)
-    ix = jnp.asarray(cls.ix_in)
-    idx_map = jnp.asarray(ocean_index_map(cls, nz))
+    iy = np.asarray(cls.iy_in)
+    ix = np.asarray(cls.ix_in)
+    idx_map = np.asarray(ocean_index_map(cls, nz))
     sl = ocean_target_slice(cls, nz)
     W = slab_stride
     sub_idx = np.arange(0, source.n_samples, stride)
@@ -549,25 +595,31 @@ def ocean_series_production(layout: RegionLayout, cls, atmo_std, source,
 
     I_o = len(np.asarray(idx_map))
     Rc = cls.count
-    carry = jnp.zeros((0, Rc, I_o), dtype=dtype)
     o_parts, t_parts = [], []
     sst_sum = None
     n_sst = 0
     pos = 0
-    while pos < T:
-        idx = sub_idx[pos:pos + time_chunk]
-        truth = {k: jnp.asarray(v) for k, v in source.truth_at(idx).items()}
-        rm, tgt, carry = prep(truth, carry)
-        # slab-cadence positions within this chunk (global phase W-1)
-        loc = np.arange(len(idx))
-        keep = (pos + loc) % W == W - 1
-        if keep.any():
-            o_parts.append(np.asarray(rm[keep]))
-            t_parts.append(np.asarray(tgt[keep]))
-        s = np.asarray(truth["sst"])
-        sst_sum = s.sum(axis=0) if sst_sum is None else sst_sum + s.sum(axis=0)
-        n_sst += s.shape[0]
-        pos += len(idx)
+    # the rolling-mean prep runs on the CPU staging device: the raw
+    # grids must not transit to a tunneled chip (see _staging_device);
+    # only the slab-cadence series (tiny) goes to the accelerator below
+    with _staging_ctx(_staging_device()):
+        carry = jnp.zeros((0, Rc, I_o), dtype=dtype)
+        while pos < T:
+            idx = sub_idx[pos:pos + time_chunk]
+            truth = {k: np.asarray(v)
+                     for k, v in source.truth_at(idx).items()}
+            rm, tgt, carry = prep(truth, carry)
+            # slab-cadence positions within this chunk (global phase W-1)
+            loc = np.arange(len(idx))
+            keep = (pos + loc) % W == W - 1
+            if keep.any():
+                o_parts.append(np.asarray(rm[keep]))
+                t_parts.append(np.asarray(tgt[keep]))
+            s = truth["sst"]
+            sst_sum = (s.sum(axis=0) if sst_sum is None
+                       else sst_sum + s.sum(axis=0))
+            n_sst += s.shape[0]
+            pos += len(idx)
     o_series = jnp.asarray(np.concatenate(o_parts, axis=0))
     target = jnp.asarray(np.concatenate(t_parts, axis=0))
     return o_series, target, jnp.asarray(sst_sum / max(n_sst, 1))
