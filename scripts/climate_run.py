@@ -76,6 +76,12 @@ M = int(os.environ.get("CLIMATE_M", "3000"))
 N = int(os.environ.get("CLIMATE_N", "8760"))          # 6 y of 6-h samples
 YEARS = int(os.environ.get("CLIMATE_YEARS", "20"))
 OCEAN_BETA = float(os.environ.get("OCEAN_BETA", "0.01"))
+# atmosphere readout ridge: 0.05 is stable at m=3000 (|Wout|max ~27,
+# 20-y run safe) but at m=6000 the interior-class solve is ill-
+# conditioned enough that |Wout|max hits ~1.2e3 and the coupled run
+# trips the safety gate in 5 days; larger reservoirs need a stronger
+# ridge for closed-loop stability (see CLIMATE_RUN_M6000 round-5 log)
+ATMO_BETA = float(os.environ.get("ATMO_BETA", "0.05"))
 OUT = os.environ.get("CLIMATE_OUT", "/root/repo/output/climate")
 RCHUNK = int(os.environ.get("CLIMATE_RCHUNK", "96"))
 DISPATCH = int(os.environ.get("CLIMATE_DISPATCH", "32"))
@@ -180,7 +186,7 @@ else:
     mark(f"stage B: training m={M} on N={N} (+slab ocean)")
     src = ArraySource({k: np.asarray(v[:N]) for k, v in truth.items()},
                       {k: np.asarray(v[:N]) for k, v in model.items()})
-    hyper = ESNHyper(m=M, deg=6, noise_mag=0.2, beta_res=0.05)
+    hyper = ESNHyper(m=M, deg=6, noise_mag=0.2, beta_res=ATMO_BETA)
     t0 = time.time()
     hyb = train_hybrid_production(
         gcm_imp, layout, src, hyper, jax.random.key(0), hybrid=True,
@@ -202,7 +208,7 @@ else:
             raise SystemExit("ABORT: non-finite ocean Wout")
     save_hybrid(hyb, CKPT)
     with open(f"{OUT}/train_meta.json", "w") as f:
-        json.dump(dict(m=M, n_train=N, beta_res=0.05,
+        json.dump(dict(m=M, n_train=N, beta_res=ATMO_BETA,
                        ocean_beta=OCEAN_BETA, train_wall_s=train_wall), f)
 
 # ------------------------------------------------------- C: the 20-y run
