@@ -191,7 +191,9 @@ else:
     hyb = train_hybrid_production(
         gcm_imp, layout, src, hyper, jax.random.key(0), hybrid=True,
         ocean=True, ocean_hyper=ocean_hyper, hybrid_ocean=False,
-        region_chunk=RCHUNK, time_chunk=256, dtype=DT, topology="shift")
+        region_chunk=RCHUNK, time_chunk=256, dtype=DT, topology="shift",
+        atmo_ckpt=CKPT + ".atmo",
+        ocean_region_chunk=int(os.environ.get("OCEAN_RCHUNK", "32")))
     train_wall = time.time() - t0
     mark(f"  trained in {train_wall:.0f}s; rss {rss_pct():.0f}%")
     for p in hyb.packs:

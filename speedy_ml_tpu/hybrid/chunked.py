@@ -625,32 +625,71 @@ def ocean_series_production(layout: RegionLayout, cls, atmo_std, source,
     return o_series, target, jnp.asarray(sst_sum / max(n_sst, 1))
 
 
+_RES_ARRAYS = ("cols", "vals", "win_vals", "wout", "mean", "std",
+               "onehots", "win_cols")
+
+
+def _res_to(res, convert):
+    """Move a BatchedReservoir's array fields with `convert` (host<->device)."""
+    import dataclasses as _dc
+    move = {}
+    for k in _RES_ARRAYS:
+        v = getattr(res, k, None)
+        if v is not None and hasattr(v, "dtype"):
+            move[k] = convert(v)
+    return _dc.replace(res, **move)
+
+
 def train_hybrid_production(gcm, layout: RegionLayout, source,
                             hyper: ESNHyper, key, *, ocean: bool = False,
                             ocean_hyper=None, hybrid: bool = True,
                             hybrid_ocean: bool = False,
-                            slab_stride: int = 28, **kw):
+                            slab_stride: int = 28,
+                            atmo_ckpt: str | None = None,
+                            ocean_region_chunk: int = 32, **kw):
     """Train every region class at production scale and assemble the
     hybrid atmosphere (the streaming twin of training.train_hybrid).
 
     hybrid_ocean: train the slab readout with the lagged-SST local-model
     block (predict_slab, mod_slab_ocean_reservoir.f90:1201-1249) instead
     of the default ml-only slab (ml_only_ocean=.True.,
-    initialize_slab_ocean_model:26)."""
+    initialize_slab_ocean_model:26).
+
+    atmo_ckpt: path for an atmosphere-only partial checkpoint — written
+    right after the atmo classes train, loaded instead of retraining if
+    it already exists.  A crash in the (later) slab-ocean stage then
+    costs only the slab work on retry, not the ~1 h atmo pass.
+
+    ocean_region_chunk: regions per slab Gram chunk (fit_ocean_class);
+    the trained atmo packs are offloaded to host for the duration of the
+    ocean stage so the slab Gram never shares HBM with them."""
+    import os
+
     from speedy_ml_tpu.hybrid.model import HybridAtmosphere
 
-    packs = []
-    for i, cls in enumerate(layout.classes):
-        packs.append(train_class_production(
-            layout, cls, source, hyper, jax.random.fold_in(key, i),
-            gcm.geom.nlev, hybrid=hybrid, **kw))
+    dtype = kw.get("dtype", jnp.float32)
+    if atmo_ckpt is not None and os.path.exists(atmo_ckpt):
+        from speedy_ml_tpu.data.checkpoint import load_hybrid
+        packs = list(load_hybrid(gcm, layout, atmo_ckpt, dtype=dtype).packs)
+    else:
+        packs = []
+        for i, cls in enumerate(layout.classes):
+            packs.append(train_class_production(
+                layout, cls, source, hyper, jax.random.fold_in(key, i),
+                gcm.geom.nlev, hybrid=hybrid, **kw))
+        if atmo_ckpt is not None:
+            from speedy_ml_tpu.data.checkpoint import save_hybrid
+            save_hybrid(HybridAtmosphere(gcm, layout, packs,
+                                         ml_only=not hybrid), atmo_ckpt)
     ocean_packs = None
     base_sst = sea_mask = None
     if ocean:
         from speedy_ml_tpu.esn.ocean import OCEAN_HYPER
         from speedy_ml_tpu.hybrid.training import fit_ocean_class
         ocean_hyper = ocean_hyper or OCEAN_HYPER
-        dtype = kw.get("dtype", jnp.float32)
+        # free ~4 GB of HBM (m=6000: wout alone is 3.7 GB) while the
+        # slab-ocean Grams run; restored to device after the loop
+        packs = [p._replace(res=_res_to(p.res, np.asarray)) for p in packs]
         ocean_packs = []
         for i, (cls, p) in enumerate(zip(layout.classes, packs)):
             o_series, target, mean_sst = ocean_series_production(
@@ -662,9 +701,11 @@ def train_hybrid_production(gcm, layout: RegionLayout, source,
                 cls, o_series, target, p, ocean_hyper,
                 jax.random.fold_in(key, 500 + i), gcm.geom.nlev,
                 dtype=dtype, topology=kw.get("topology", "shift"),
-                hybrid_ocean=hybrid_ocean))
+                hybrid_ocean=hybrid_ocean,
+                region_chunk=ocean_region_chunk))
             if i == 0:
                 base_sst = mean_sst
+        packs = [p._replace(res=_res_to(p.res, jnp.asarray)) for p in packs]
         sea_mask = jnp.asarray(np.asarray(gcm.bd.fmask_l) > 0.0)
     return HybridAtmosphere(gcm, layout, packs, ml_only=not hybrid,
                             ocean_packs=ocean_packs, base_sst=base_sst,

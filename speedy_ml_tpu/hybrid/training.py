@@ -190,7 +190,8 @@ def train_class(layout: RegionLayout, cls, truth: dict, model: Optional[dict],
 
 def fit_ocean_class(cls, o_series, target, atmo_pack, hyper, key, nz: int, *,
                     n_discard: int = 2, dtype=jnp.float32,
-                    topology: str = "shift", hybrid_ocean: bool = False):
+                    topology: str = "shift", hybrid_ocean: bool = False,
+                    region_chunk: int = 32):
     """Generate + ridge-fit the slab reservoirs of one class from
     prepared (T_slab, Rc, I_o) inputs and (T_slab, Rc, O) SST targets.
 
@@ -226,7 +227,10 @@ def fit_ocean_class(cls, o_series, target, atmo_pack, hyper, key, nz: int, *,
     # (1,056 regions, slab n=3968) the full-class Gram is (1056, 3968,
     # 3968) f32 = 66 GB — 4x the chip's HBM.  Per-region normal
     # equations are independent, so chunk exactly like the atmo trainer.
-    region_chunk = 64
+    # Default 32 (2.0 GB Gram): 64-region chunks (4.0 GB) OOMed a
+    # 15.75 GB chip when the trained m=6000 atmo packs (~4 GB) were
+    # still device-resident (round-5 stage-B crash; the caller should
+    # also offload those — see train_hybrid_production).
     wout_parts = []
     for r0 in range(0, Rc, region_chunk):
         r1 = min(r0 + region_chunk, Rc)
